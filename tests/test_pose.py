@@ -1,0 +1,212 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_mmd_renderer_tpu.formats import pmx as P
+from simple_mmd_renderer_tpu.core import model as M
+from simple_mmd_renderer_tpu.core import pose as PO
+from simple_mmd_renderer_tpu.utils import math3d as m3
+
+from fixtures import two_bone_arm, ik_leg
+from oracle_poser import OraclePoser
+
+
+def run_jax(static, anim_rot, anim_trans, morph_rates):
+    pose = PO.pre_physics_posing(static, jnp.asarray(anim_rot),
+                                 jnp.asarray(anim_trans),
+                                 jnp.asarray(morph_rates))
+    pose = PO.post_physics_posing(static, pose, jnp.asarray(anim_rot),
+                                  jnp.asarray(anim_trans),
+                                  jnp.asarray(morph_rates))
+    return pose
+
+
+def run_oracle(pm, anim_rot, anim_trans, morph_rates):
+    o = OraclePoser(pm)
+    for i in range(o.B):
+        o.set_bone_pose(i, anim_trans[i], anim_rot[i])
+    for i in range(o.static.n_morphs):
+        o.set_morph(i, float(morph_rates[i]))
+    o.pre_physics()
+    o.post_physics()
+    return o
+
+
+def neutral_inputs(static):
+    b = static.n_bones
+    rot = np.tile(np.array([0, 0, 0, 1], np.float32), (b, 1))
+    trans = np.zeros((b, 3), np.float32)
+    rates = np.zeros(static.n_morphs, np.float32)
+    return rot, trans, rates
+
+
+def test_rest_pose_identity():
+    pm = two_bone_arm()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    pose = run_jax(static, rot, trans, rates)
+    # at rest, world = T(rest), skin = identity
+    np.testing.assert_allclose(pose.world[1][:3, 3], static.bone_rest[1], atol=1e-6)
+    np.testing.assert_allclose(pose.skin,
+                               np.tile(np.eye(4), (static.n_bones, 1, 1)), atol=1e-6)
+    p, n = PO.deform(static, pose)
+    np.testing.assert_allclose(p, static.positions, atol=1e-6)
+    np.testing.assert_allclose(n, static.normals, atol=1e-6)
+
+
+def test_fk_rotation_matches_oracle():
+    pm = two_bone_arm()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    # rotate root 90° about z, translate child
+    rot[0] = [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)]
+    trans[1] = [0.0, 0.5, 0.0]
+    rot[1] = [np.sin(0.2), 0, 0, np.cos(0.2)]
+
+    pose = run_jax(static, rot, trans, rates)
+    o = run_oracle(pm, rot, trans, rates)
+
+    np.testing.assert_allclose(pose.world, o.world, atol=1e-5)
+    np.testing.assert_allclose(pose.skin, o.skin, atol=1e-5)
+
+    pj, nj = PO.deform(static, pose)
+    po, no = o.deform()
+    np.testing.assert_allclose(pj, po, atol=1e-5)
+    np.testing.assert_allclose(nj, no, atol=1e-5)
+
+
+def test_morphs_match_oracle():
+    pm = two_bone_arm()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    rates[0] = 0.8   # vertex morph
+    rates[1] = 0.6   # bone morph
+    rates[2] = 1.0   # group morph -> vertex morph at 0.5
+
+    pose = run_jax(static, rot, trans, rates)
+    o = run_oracle(pm, rot, trans, rates)
+
+    np.testing.assert_allclose(pose.vertex_offsets, o.vertex_offsets, atol=1e-6)
+    np.testing.assert_allclose(pose.world, o.world, atol=1e-5)
+    pj, _ = PO.deform(static, pose)
+    po, _ = o.deform()
+    np.testing.assert_allclose(pj, po, atol=1e-5)
+
+
+def _make_append_rig():
+    """root -> a; b appends rotation from a at ratio 0.5."""
+    pm = two_bone_arm()
+    b = P.Bone("append", "append", np.array([2, 0, 0], np.float32), 0, 1,
+               P.BONE_ROTATABLE | P.BONE_VISIBLE | P.BONE_APPEND_ROTATE
+               | P.BONE_APPEND_TRANSLATE)
+    b.child_offset = np.zeros(3, np.float32)
+    b.append_parent = 1
+    b.append_ratio = 0.5
+    pm.bones.append(b)
+    return pm
+
+
+def test_append_bone_matches_oracle():
+    pm = _make_append_rig()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    rot[1] = [0, np.sin(0.4), 0, np.cos(0.4)]
+    trans[1] = [0.1, 0.2, 0.0]
+    rot[2] = [np.sin(0.1), 0, 0, np.cos(0.1)]
+
+    pose = run_jax(static, rot, trans, rates)
+    o = run_oracle(pm, rot, trans, rates)
+    np.testing.assert_allclose(pose.total_rot, o.total_rot, atol=1e-5)
+    np.testing.assert_allclose(pose.total_trans, o.total_trans, atol=1e-5)
+    np.testing.assert_allclose(pose.world, o.world, atol=1e-5)
+
+
+@pytest.mark.parametrize("target", [
+    (0.0, 1.0, 0.5), (0.5, 2.0, 0.0), (0.0, 0.2, -1.0), (0.0, 4.5, 0.0)])
+def test_ccd_ik_matches_oracle(target):
+    pm = ik_leg()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    # move the IK goal bone; ankle chases it through knee/hip links
+    trans[4] = np.asarray(target, np.float32) - static.bone_rest[4]
+
+    pose = run_jax(static, rot, trans, rates)
+    o = run_oracle(pm, rot, trans, rates)
+    # Converged CCD amplifies float drift (many joint configs satisfy the
+    # goal); the tight semantic comparison is test_ccd_ik_few_iterations.
+    np.testing.assert_allclose(pose.world, o.world, atol=5e-3)
+    np.testing.assert_allclose(pose.skin, o.skin, atol=5e-3)
+    # the chain actually reaches (when the goal is reachable)
+    goal = np.asarray(target)
+    reach = np.linalg.norm(goal - static.bone_rest[1])
+    if reach < 3.9:  # leg length 4 with knee limit, leave slack
+        ankle = np.asarray(pose.world[3][:3, 3])
+        assert np.linalg.norm(ankle - goal) < 0.15
+
+
+@pytest.mark.parametrize("target", [
+    (0.0, 1.0, 0.5), (0.5, 2.0, 0.0), (0.0, 0.2, -1.0), (1.0, 3.0, 1.0)])
+def test_ccd_ik_few_iterations(target):
+    """4 CCD iterations (below convergence): float drift cannot amplify, so
+    the JAX solve must match the sequential oracle almost exactly."""
+    pm = ik_leg()
+    pm.bones[4].ik_loop = 4
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    trans[4] = np.asarray(target, np.float32) - static.bone_rest[4]
+    pose = run_jax(static, rot, trans, rates)
+    o = run_oracle(pm, rot, trans, rates)
+    np.testing.assert_allclose(pose.world, o.world, atol=1e-4)
+    np.testing.assert_allclose(pose.ik_rot, o.ik_rot, atol=1e-4)
+
+
+def test_ik_respects_knee_limit():
+    pm = ik_leg()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    trans[4] = np.array([0.0, 2.0, 0.0], np.float32)  # fold the leg
+    pose = run_jax(static, rot, trans, rates)
+    # knee local rotation must stay a pure negative-x rotation
+    knee_local = m3.quat_mul(pose.ik_rot[2], pose.pre_ik_rot[2])
+    e = np.asarray(m3.quat_to_euler(knee_local, "xyz"))
+    assert e[0] <= -0.008726  # hi limit
+    assert e[0] >= -np.pi - 1e-5
+    assert abs(e[1]) < 1e-4 and abs(e[2]) < 1e-4
+
+
+def test_post_physics_partition():
+    pm = two_bone_arm()
+    pm.bones[1].flags |= P.BONE_POST_PHYSICS
+    static = M.build_model(pm)
+    assert [s.kind for s in static.post_segments] == ["fk"]
+    rot, trans, rates = neutral_inputs(static)
+    rot[0] = [0, 0, np.sin(0.3), np.cos(0.3)]
+    rot[1] = [np.sin(0.2), 0, 0, np.cos(0.2)]
+    pose = run_jax(static, rot, trans, rates)
+    o = run_oracle(pm, rot, trans, rates)
+    np.testing.assert_allclose(pose.world, o.world, atol=1e-5)
+    np.testing.assert_allclose(pose.skin, o.skin, atol=1e-5)
+
+
+def test_pipeline_jits_and_vmaps():
+    pm = ik_leg()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+
+    @jax.jit
+    def step(r, t, m):
+        pose = PO.pre_physics_posing(static, r, t, m)
+        pose = PO.post_physics_posing(static, pose, r, t, m)
+        return pose.skin
+
+    single = step(jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(rates))
+
+    batch_t = np.tile(trans, (4, 1, 1))
+    batch_t[:, 4, 1] = np.linspace(-2, 1, 4)
+    batched = jax.jit(jax.vmap(step, in_axes=(None, 0, None)))(
+        jnp.asarray(rot), jnp.asarray(batch_t), jnp.asarray(rates))
+    assert batched.shape == (4, static.n_bones, 4, 4)
+    np.testing.assert_allclose(
+        batched[np.argmin(np.abs(np.linspace(-2, 1, 4)))],
+        single, atol=1e-4)
