@@ -1,0 +1,84 @@
+"""Runtime configuration.
+
+Every tunable the reference exposes through its ImGui windows, as a dataclass.
+Defaults match the `g_state` initializers (`main.cpp:151-239`) and window
+setup (`main.cpp:2502-2504`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _v(*xs):
+    return field(default_factory=lambda: np.array(xs, np.float32))
+
+
+@dataclass
+class RenderConfig:
+    # window / framebuffer (main.cpp:2502-2504; MSAA is not implemented)
+    width: int = 1280
+    height: int = 720
+    clear_color: np.ndarray = _v(0.1, 0.1, 0.15)
+
+    # camera (main.cpp:151-156; clip planes main.cpp:1897)
+    camera_pos: np.ndarray = _v(0.2, 1.6, -4.0)
+    camera_target: np.ndarray = _v(0.0, 1.1, 0.0)
+    camera_fov_deg: float = 45.0
+    near: float = 0.1
+    far: float = 1000.0
+
+    # directional light (main.cpp:228-233)
+    light_direction: np.ndarray = field(default_factory=lambda: (
+        np.array([0.3, -1.0, 0.2], np.float32)
+        / np.linalg.norm([0.3, -1.0, 0.2])).astype(np.float32))
+    light_color: np.ndarray = _v(1.0, 1.0, 1.0)
+    light_intensity: float = 1.0
+
+    # shadows (main.cpp:218, 232; frustum main.cpp:1996-2003)
+    shadows_enabled: bool = True
+    shadow_map_size: int = 2048
+    shadow_frustum_half: float = 5.0
+    shadow_near: float = 0.1
+    shadow_far: float = 100.0
+
+    # figure/resin material (main.cpp:235-239)
+    rim_power: float = 2.0
+    rim_intensity: float = 0.2
+    rim_color: np.ndarray = _v(1.0, 1.0, 1.0)
+    specular_power: float = 64.0
+    specular_intensity: float = 1.0
+
+    # skybox / ground
+    show_skybox: bool = True
+    show_ground: bool = True
+    ground_size: float = 50.0          # main.cpp:868
+    cubemap_size: int = 512            # main.cpp:1074
+
+    # units (main.cpp:753-754)
+    mmd_to_meter: float = 0.1
+
+
+@dataclass
+class PhysicsConfig:
+    # mmd-bullet_impl.inl:64-89 + UI (main.cpp:1630-1696)
+    enabled: bool = True
+    gravity_strength: float = 9.8
+    gravity_direction: np.ndarray = _v(0.0, -1.0, 0.0)
+    world_scale: float = 10.0          # "world is scaled by 10"
+    has_floor: bool = True
+    floor_friction: float = 0.265
+    dt: float = 1.0 / 30.0             # main.cpp:1806
+    substep_hz: float = 60.0           # stepSimulation internal step
+    max_substeps: int = 60
+    solver_iterations: int = 10
+
+
+@dataclass
+class AppConfig:
+    render: RenderConfig = field(default_factory=RenderConfig)
+    physics: PhysicsConfig = field(default_factory=PhysicsConfig)
+    fps: float = 30.0                  # VMD frame rate (main.cpp:1793)
+    animation_playing: bool = True

@@ -1,0 +1,182 @@
+"""Frame pipeline: shadow pass -> main pass (skybox, character, ground).
+
+Array rebuild of the reference's per-frame render (`main.cpp:2011-2189`):
+
+1. camera MVP (perspective RH_ZO 0.1-1000m) and directional-light ortho MVP
+   (±5 m frustum, 0.1-100 m, light 50 m out) — `main.cpp:1896-2009`
+2. shadow pass: depth-only raster of the character from the light,
+   front-face culling (`main.cpp:898-957`)
+3. main pass: skybox (cube sample + ACES), character (albedo/rim/Blinn-Phong
+   per part texture), ground (white * 0.7 * 3x3 PCF shadow)
+
+All passes render to HBM arrays; shading is deferred over visibility buffers.
+Character vertices are fed in MMD units and scaled x0.1 to meters here, with
+triangle winding flipped, exactly like the reference's vertex upload
+(`main.cpp:753-754, 783-787`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..formats.textures import sample_bilinear
+from . import camera as cam
+from . import ibl as ibl_mod
+from . import raster
+from . import shade
+
+
+def build_matrices(cfg: RenderConfig, model_mat=None):
+    if model_mat is None:
+        model_mat = jnp.eye(4, dtype=jnp.float32)
+    aspect = cfg.width / cfg.height
+    proj = cam.perspective(jnp.deg2rad(cfg.camera_fov_deg), aspect,
+                           cfg.near, cfg.far)
+    view = cam.look_at(cfg.camera_pos, cfg.camera_target,
+                       jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    mvp = proj @ view @ model_mat
+
+    hs = cfg.shadow_frustum_half
+    light_proj = cam.orthographic(-hs, hs, -hs, hs, cfg.shadow_near,
+                                  cfg.shadow_far)
+    light_view = cam.directional_light_view(cfg.light_direction)
+    light_mvp = light_proj @ light_view @ model_mat
+    light_vp = light_proj @ light_view  # identity-model version (ground)
+    return dict(model=model_mat, view=view, proj=proj, mvp=mvp,
+                light_mvp=light_mvp, light_vp=light_vp)
+
+
+def ground_geometry(size):
+    """50 m white stage quad (CreateGroundGeometry, main.cpp:866-895)."""
+    s = size
+    verts = jnp.array([[-s, 0, -s], [s, 0, -s], [s, 0, s], [-s, 0, s]],
+                      jnp.float32)
+    tris = jnp.array([[0, 1, 2], [2, 3, 0]], jnp.int32)
+    return verts, tris
+
+
+def ground_pass(cfg: RenderConfig, view, proj, width, height):
+    """Analytic ray/plane ground raster: exactly the 50 m y=0 quad, but immune
+    to near-plane clipping (the quad always crosses the near plane, which a
+    guard-band triangle raster would drop). -> (mask, world_pos, ndc_depth)."""
+    eye = jnp.asarray(cfg.camera_pos, jnp.float32)
+    vp = proj @ view
+    inv = jnp.linalg.inv(vp)
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    ndc_x = jnp.broadcast_to(xs[None, :], (height, width))
+    ndc_y = jnp.broadcast_to(ys[:, None], (height, width))
+    p = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5),
+                   jnp.ones_like(ndc_x)], -1) @ inv.T
+    world = p[..., :3] / jnp.where(jnp.abs(p[..., 3:4]) > 1e-12, p[..., 3:4], 1.0)
+    direction = world - eye
+    dy = direction[..., 1]
+    t = -eye[1] / jnp.where(jnp.abs(dy) > 1e-9, dy, 1e-9)
+    hit = eye + t[..., None] * direction
+    s = cfg.ground_size
+    mask = ((t > 0) & (jnp.abs(dy) > 1e-9)
+            & (jnp.abs(hit[..., 0]) <= s) & (jnp.abs(hit[..., 2]) <= s))
+    hclip = raster.transform_clip(hit.reshape(-1, 3), vp).reshape(
+        height, width, 4)
+    depth = hclip[..., 2] / jnp.where(jnp.abs(hclip[..., 3]) > 1e-9,
+                                      hclip[..., 3], 1.0)
+    mask = mask & (depth >= 0.0) & (depth <= 1.0)
+    return mask, hit, jnp.where(mask, depth, 1.0)
+
+
+def shadow_pass(verts_m, tris_flipped, light_mvp, size):
+    """Depth-only character raster from the light (front-cull,
+    main.cpp:942)."""
+    clip = raster.transform_clip(verts_m, light_mvp)
+    vis = raster.rasterize(clip, tris_flipped, size, size, raster.CULL_FRONT)
+    return vis.depth
+
+
+def character_albedo(static, vis, uv_px, part_textures):
+    """Per-part diffuse texture lookup (main.cpp:2093-2146: one draw + bind
+    per part; here: masked sample per part over the visibility buffer)."""
+    albedo = jnp.ones(vis.tri.shape + (3,), jnp.float32)
+    for p in range(len(static.part_base)):
+        base = int(static.part_base[p])
+        count = int(static.part_count[p])
+        if count == 0:
+            continue
+        mask = (vis.tri >= base) & (vis.tri < base + count)
+        tex = part_textures[p]
+        if tex.shape[0] == 1 and tex.shape[1] == 1:
+            color = jnp.broadcast_to(jnp.asarray(tex[0, 0]), albedo.shape)
+        else:
+            color = sample_bilinear(tex, uv_px)
+        albedo = jnp.where(mask[..., None], color, albedo)
+    return albedo
+
+
+def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
+                 part_textures=None, cubemap=None, model_mat=None,
+                 width=None, height=None):
+    """Full main-pass image, [H,W,3] float32 in [0,1].
+
+    positions_mmd/normals: deformed vertices from core.pose.deform (MMD
+    units)."""
+    width = width or cfg.width
+    height = height or cfg.height
+    mats = build_matrices(cfg, model_mat)
+
+    verts_m = positions_mmd * cfg.mmd_to_meter
+    tris = jnp.asarray(static.triangles)[:, ::-1]  # winding flip at upload
+
+    # --- shadow pass
+    if cfg.shadows_enabled:
+        shadow_map = shadow_pass(verts_m, tris, mats["light_mvp"],
+                                 cfg.shadow_map_size)
+    else:
+        shadow_map = jnp.ones((1, 1), jnp.float32)
+
+    # --- background: clear color, then skybox (drawn at far depth)
+    color = jnp.broadcast_to(jnp.asarray(cfg.clear_color, jnp.float32),
+                             (height, width, 3))
+    if cfg.show_skybox and cubemap is not None:
+        color = ibl_mod.skybox_colors(cubemap, mats["view"], mats["proj"],
+                                      width, height)
+
+    # --- ground (identity model matrix, main.cpp:2152)
+    if cfg.show_ground:
+        ground_mask, gpos, ground_depth = ground_pass(
+            cfg, mats["view"], mats["proj"], width, height)
+        light_clip_px = raster.transform_clip(gpos.reshape(-1, 3),
+                                              mats["light_vp"]).reshape(
+                                                  height, width, 4)
+        gcolor = shade.shade_ground(
+            jnp.ones(3, jnp.float32), light_clip_px, shadow_map,
+            jnp.asarray(cfg.shadows_enabled))
+        color = jnp.where(ground_mask[..., None], gcolor, color)
+    else:
+        ground_mask = jnp.zeros((height, width), bool)
+        ground_depth = jnp.ones((height, width), jnp.float32)
+
+    # --- character
+    clip = raster.transform_clip(verts_m, mats["mvp"])
+    vis = raster.rasterize(clip, tris, width, height, raster.CULL_BACK)
+    char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
+
+    world_px = raster.interpolate(vis, clip, tris, verts_m)  # model==identity
+    if model_mat is not None:
+        mm = jnp.asarray(model_mat)
+        world_px = world_px @ mm[:3, :3].T + mm[:3, 3]
+        nmat = jnp.linalg.inv(mm[:3, :3]).T
+    else:
+        nmat = jnp.eye(3, dtype=jnp.float32)
+    nrm_px = raster.interpolate(vis, clip, tris, jnp.asarray(normals)) @ nmat.T
+    uv_px = raster.interpolate(vis, clip, tris, jnp.asarray(static.uvs))
+
+    if part_textures is None:
+        albedo = jnp.ones((height, width, 3), jnp.float32)
+    else:
+        albedo = character_albedo(static, vis, uv_px, part_textures)
+
+    char_color = shade.shade_character(
+        albedo, nrm_px, world_px, jnp.asarray(cfg.camera_pos, jnp.float32),
+        cfg)
+    color = jnp.where(char_mask[..., None], char_color, color)
+    return jnp.clip(color, 0.0, 1.0)

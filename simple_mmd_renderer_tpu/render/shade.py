@@ -1,0 +1,99 @@
+"""Deferred shading: the reference's GLSL fragment programs as jnp functions.
+
+- `shade_character`: `shader/main.glsl:79-118` — albedo texture, rim light
+  `(1-N·V)^rim_power`, Blinn-Phong specular gated on N·L, fixed 0.25 weak
+  diffuse, final `albedo*(0.9+diffuse)+rim+spec`, then the shader's
+  srgb->linear transfer applied to the final color.
+- `shade_ground`: `shader/ground.glsl:55-125` — albedo*0.7 times a 3x3 PCF
+  shadow factor from the light-space depth map.
+- `tonemap_aces` + skybox sampling live in render/ibl.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def srgb_to_linear(c):
+    """SrgbToLinear (main.glsl:64-77) — applied to the *final* color."""
+    return jnp.where(c <= 0.04045, c / 12.92,
+                     jnp.power(jnp.abs((c + 0.055) / 1.055), 2.4))
+
+
+def linear_to_srgb(c):
+    return jnp.where(c <= 0.0031308, 12.92 * c,
+                     1.055 * jnp.power(jnp.abs(c), 1.0 / 2.4) - 0.055)
+
+
+def _normalize(v, axis=-1):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
+
+
+def shade_character(albedo, normal, world_pos, view_pos, cfg):
+    """albedo/normal/world_pos: [...,3]; cfg: RenderConfig-like with light and
+    material fields. Returns linear-ish final color per main.glsl."""
+    n = _normalize(normal)
+    v = _normalize(view_pos - world_pos)
+    l = _normalize(-jnp.asarray(cfg.light_direction, jnp.float32))
+
+    ndotv = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 0.0)
+    rim_factor = jnp.power(jnp.abs(1.0 - ndotv), cfg.rim_power)
+    rim = jnp.asarray(cfg.rim_color, jnp.float32) * cfg.rim_intensity * rim_factor
+
+    h = _normalize(v + l)
+    ndoth = jnp.maximum(jnp.sum(n * h, -1, keepdims=True), 0.0)
+    ndotl = jnp.maximum(jnp.sum(n * l, -1, keepdims=True), 0.0)
+    spec_factor = jnp.where(ndotl > 0.0,
+                            jnp.power(jnp.abs(ndoth), cfg.specular_power), 0.0)
+    light_col = jnp.asarray(cfg.light_color, jnp.float32) * cfg.light_intensity
+    specular = light_col * cfg.specular_intensity * spec_factor
+
+    diffuse = light_col * 0.25 * ndotl
+    final = albedo * (0.9 + diffuse) + rim + specular
+    return srgb_to_linear(final)
+
+
+def pcf_shadow(light_space_pos, shadow_map, enabled, bias=0.001):
+    """3x3 PCF (ground.glsl:66-125). light_space_pos: [...,4] clip coords in
+    the light frustum; shadow_map: [S,S] depth. Returns [...,1] shadow factor
+    in [0,1] (1 = fully lit)."""
+    s = shadow_map.shape[0]
+    w = light_space_pos[..., 3:4]
+    proj = light_space_pos[..., :3] / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+    proj = proj * 0.5 + 0.5
+    # the shadow map was rendered y-down like every raster pass here; the
+    # GL-style [0,1] y must flip to row index (ground.glsl:74-79 d3d branch)
+    u = proj[..., 0]
+    v_ = 1.0 - proj[..., 1]
+    # RH_ZO depth is already [0,1]; the GLSL *0.5+0.5 remap cancels against
+    # GL's viewport depth remap, so the effective comparison is ZO vs ZO.
+    zref = light_space_pos[..., 2] / jnp.where(jnp.abs(w[..., 0]) > 1e-9,
+                                               w[..., 0], 1.0)
+
+    inside = ((u >= -0.001) & (u <= 1.001) &
+              (v_ >= -0.001) & (v_ <= 1.001) &
+              (zref >= 0.0) & (zref <= 1.001))
+
+    uc = jnp.clip(u, 0.0, 1.0)
+    vc = jnp.clip(v_, 0.0, 1.0)
+    px = jnp.clip((uc * s).astype(jnp.int32), 0, s - 1)
+    py = jnp.clip((vc * s).astype(jnp.int32), 0, s - 1)
+
+    total = jnp.zeros_like(zref)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            qx = jnp.clip(px + dx, 0, s - 1)
+            qy = jnp.clip(py + dy, 0, s - 1)
+            depth = shadow_map[qy, qx]
+            total = total + jnp.where(zref - bias < depth, 1.0, 0.0)
+    shadow = jnp.clip(total / 9.0, 0.0, 1.0)
+    shadow = jnp.where(inside, shadow, 1.0)
+    return jnp.where(enabled, shadow, 1.0)[..., None]
+
+
+def shade_ground(albedo, light_space_pos, shadow_map, shadows_enabled,
+                 receive_shadows=True):
+    """ground.glsl:118-125: albedo*0.7 times the PCF factor."""
+    shadow = pcf_shadow(light_space_pos, shadow_map,
+                        shadows_enabled & receive_shadows)
+    return albedo * 0.7 * shadow

@@ -1,0 +1,189 @@
+import numpy as np
+import jax.numpy as jnp
+
+from simple_mmd_renderer_tpu.render import raster, camera as cam, shade, ibl
+from simple_mmd_renderer_tpu.render.pipeline import render_frame
+from simple_mmd_renderer_tpu.config import RenderConfig
+from simple_mmd_renderer_tpu.core import model as M
+from simple_mmd_renderer_tpu.formats import pmx as P
+
+from fixtures import two_bone_arm
+
+
+def ndc_tri(verts2d, z=0.5):
+    """Clip coords for screen-filling test triangles (w=1)."""
+    v = np.asarray(verts2d, np.float32)
+    out = np.zeros((len(v), 4), np.float32)
+    out[:, :2] = v
+    out[:, 2] = z
+    out[:, 3] = 1.0
+    return jnp.asarray(out)
+
+
+def test_rasterize_single_triangle_coverage():
+    # CCW-visual (front in y-down raster = negative area): large triangle
+    clip = ndc_tri([[-0.9, -0.9], [0.9, -0.9], [0.0, 0.9]])
+    # bottom-left -> bottom-right -> top: CCW on screen = front (area2 < 0)
+    tris = jnp.array([[0, 1, 2]], jnp.int32)
+    vis = raster.rasterize(clip, tris, 64, 64, raster.CULL_BACK)
+    cover = np.asarray(vis.tri >= 0)
+    assert cover[32, 32]           # center covered
+    assert not cover[2, 2]         # corners empty
+    assert not cover[2, 61]
+    # flip culling: nothing drawn
+    vis2 = raster.rasterize(clip, tris, 64, 64, raster.CULL_FRONT)
+    assert not np.asarray(vis2.tri >= 0).any()
+    # CULL_NONE draws either winding
+    vis3 = raster.rasterize(clip, tris[:, ::-1], 64, 64, raster.CULL_NONE)
+    assert np.asarray(vis3.tri >= 0)[32, 32]
+
+
+def test_rasterize_depth_order():
+    near = ndc_tri([[-0.9, -0.9], [0.9, -0.9], [0.0, 0.9]], z=0.2)
+    far = ndc_tri([[-0.9, -0.9], [0.9, -0.9], [0.0, 0.9]], z=0.8)
+    clip = jnp.concatenate([near, far])
+    tris = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    vis = raster.rasterize(clip, tris, 32, 32, raster.CULL_BACK)
+    assert int(vis.tri[16, 16]) == 0
+    # draw order flipped: near still wins
+    tris2 = jnp.array([[3, 4, 5], [0, 1, 2]], jnp.int32)
+    vis2 = raster.rasterize(clip, tris2, 32, 32, raster.CULL_BACK)
+    np.testing.assert_allclose(float(vis2.depth[16, 16]), 0.2, atol=1e-5)
+
+
+def test_interpolate_perspective_correct():
+    # quad edge-on-ish: vertex at w=1 and w=4; midpoint of the screen-space
+    # segment must be biased toward the near vertex's attribute
+    clip = jnp.array([[-0.5, -0.5, 0.5, 1.0],
+                      [2.0, -0.5, 0.5, 4.0],
+                      [-0.5, 0.5, 0.5, 1.0]], jnp.float32)
+    tris = jnp.array([[0, 2, 1]], jnp.int32)
+    vis = raster.rasterize(clip, tris, 64, 64, raster.CULL_NONE)
+    attr = jnp.array([[0.0], [1.0], [0.0]], jnp.float32)
+    out = raster.interpolate(vis, clip, tris, attr)
+    ys, xs = np.where(np.asarray(vis.tri) >= 0)
+    row = ys[len(ys) // 2]
+    vals = np.asarray(out[row, :, 0])
+    cov = np.asarray(vis.tri[row] >= 0)
+    mid = vals[cov]
+    # screen-space lerp would give ~linear ramp; perspective-correct is convex
+    # (values below the linear ramp toward the far vertex)
+    n = len(mid)
+    if n > 8:
+        lin = np.linspace(mid[0], mid[-1], n)
+        assert (mid[1:-1] <= lin[1:-1] + 1e-3).all()
+        assert mid[1:-1].mean() < lin[1:-1].mean() - 0.01
+
+
+def test_camera_matrices():
+    view = cam.look_at(jnp.array([0.0, 0, 5]), jnp.zeros(3),
+                       jnp.array([0.0, 1, 0]))
+    p = view @ jnp.array([0.0, 0, 0, 1])
+    np.testing.assert_allclose(p[:3], [0, 0, -5], atol=1e-6)
+    proj = cam.perspective(jnp.deg2rad(90.0), 1.0, 0.1, 100.0)
+    clip = proj @ p
+    ndc = clip[:3] / clip[3]
+    assert 0.0 <= float(ndc[2]) <= 1.0
+    # point at the near plane maps to z=0, far to z=1 (RH_ZO)
+    near_clip = proj @ jnp.array([0.0, 0, -0.1, 1])
+    np.testing.assert_allclose(float(near_clip[2] / near_clip[3]), 0.0, atol=1e-6)
+    far_clip = proj @ jnp.array([0.0, 0, -100.0, 1])
+    np.testing.assert_allclose(float(far_clip[2] / far_clip[3]), 1.0, atol=1e-5)
+
+
+def test_srgb_roundtrip():
+    x = jnp.linspace(0.0, 1.0, 64)
+    y = shade.linear_to_srgb(shade.srgb_to_linear(x))
+    np.testing.assert_allclose(y, x, atol=1e-5)
+
+
+def test_cubemap_roundtrip():
+    # equirect whose color encodes direction; convert + sample back
+    h, w = 64, 128
+    # the conversion inverse maps u = atan2(z,x)/2pi + 0.5 (main.cpp:1131-34)
+    theta = ((np.arange(w) + 0.5) / w - 0.5) * 2 * np.pi
+    phi = (np.arange(h) + 0.5) / h * np.pi
+    dirs = np.stack(np.broadcast_arrays(
+        np.cos(theta)[None, :] * np.sin(phi)[:, None],
+        np.cos(phi)[:, None] * np.ones(w)[None, :],
+        np.sin(theta)[None, :] * np.sin(phi)[:, None]), -1)
+    equirect = (dirs * 0.5 + 0.5).astype(np.float32)
+    cube = ibl.equirect_to_cubemap(jnp.asarray(equirect), size=64)
+
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    got = np.asarray(ibl.sample_cubemap(cube, jnp.asarray(d)))
+    expect = d * 0.5 + 0.5
+    # nearest sampling at 64px faces: generous tolerance
+    assert np.abs(got - expect).max() < 0.15
+    assert np.abs(got - expect).mean() < 0.03
+
+
+def _sphere_model(radius=5.0, center=(0.0, 10.0, 0.0), n=12):
+    pm = two_bone_arm()
+    us, vs = np.meshgrid(np.linspace(0, 2 * np.pi, 2 * n, endpoint=False),
+                         np.linspace(0.12, np.pi - 0.12, n), indexing="ij")
+    pts = np.stack([np.sin(vs) * np.cos(us), np.cos(vs),
+                    np.sin(vs) * np.sin(us)], -1).reshape(-1, 3)
+    verts = (pts * radius + np.asarray(center)).astype(np.float32)
+    tris = []
+    for i in range(2 * n):
+        for j in range(n - 1):
+            a = i * n + j
+            b = ((i + 1) % (2 * n)) * n + j
+            tris += [[a, b, a + 1], [b, b + 1, a + 1]]
+    nv = len(verts)
+    pm.positions = verts
+    pm.normals = pts.reshape(-1, 3).astype(np.float32)
+    pm.uvs = np.zeros((nv, 2), np.float32)
+    pm.extra_uvs = np.zeros((nv, 0, 4), np.float32)
+    pm.skin_type = np.full(nv, P.BDEF1, np.uint8)
+    pm.skin_bones = np.tile(np.array([[0, -1, -1, -1]], np.int32), (nv, 1))
+    pm.skin_weights = np.tile(np.array([[1, 0, 0, 0]], np.float32), (nv, 1))
+    pm.sdef_c = np.zeros((nv, 3), np.float32)
+    pm.sdef_r0 = np.zeros((nv, 3), np.float32)
+    pm.sdef_r1 = np.zeros((nv, 3), np.float32)
+    pm.edge_scale = np.ones(nv, np.float32)
+    pm.triangles = np.asarray(tris, np.int32)
+    pm.morphs = []
+    pm.materials = [pm.materials[0]]
+    pm.materials[0].n_triangles = len(tris)
+    pm.materials[0].texture = -1
+    return M.build_model(pm)
+
+
+def test_full_frame_sphere_over_ground():
+    static = _sphere_model()
+    cfg = RenderConfig(width=160, height=120, shadow_map_size=256,
+                       show_skybox=False)
+    img = np.asarray(render_frame(
+        static, jnp.asarray(static.positions), jnp.asarray(static.normals),
+        cfg))
+    assert img.shape == (120, 160, 3)
+    assert np.isfinite(img).all()
+    # sphere (1m ball at y=1) should cover the image center region
+    center = img[40:70, 60:100]
+    clear = np.asarray(cfg.clear_color)
+    assert (np.abs(center - clear).sum(-1) > 0.05).mean() > 0.5
+    # ground visible at the bottom, lit value = 0.7 after PCF
+    bottom = img[115:, :]
+    assert (np.abs(bottom - 0.7).max(-1) < 0.02).mean() > 0.3
+    # shadow: some ground pixels are significantly darker than 0.7
+    ground_like = np.abs(img.max(-1) - img.min(-1)) < 1e-3  # grey pixels
+    greys = img[..., 0][ground_like]
+    assert (greys < 0.4).any(), "expected a cast shadow on the ground"
+
+
+def test_frame_with_skybox():
+    static = _sphere_model()
+    equirect = np.ones((8, 16, 3), np.float32) * np.array([4.0, 0.0, 0.0])
+    cube = ibl.equirect_to_cubemap(jnp.asarray(equirect), size=16)
+    cfg = RenderConfig(width=64, height=48, shadow_map_size=64,
+                       show_ground=False)
+    img = np.asarray(render_frame(
+        static, jnp.asarray(static.positions), jnp.asarray(static.normals),
+        cfg, cubemap=cube))
+    # background = ACES(4.0) red, strongly red everywhere off-sphere
+    corner = img[0, 0]
+    assert corner[0] > 0.8 and corner[1] < 0.1
