@@ -1,0 +1,685 @@
+"""Batched rigid-body physics for MMD hair/skirt simulation.
+
+TPU-native replacement for the reference's Bullet binding (`mmd-bullet/
+mmd-bullet_impl.inl`): fixed-shape arrays of bodies and joints, vectorized
+(Jacobi-averaged) position-based constraint iterations inside `lax.scan`-style
+substeps, all jit/vmap-friendly. Semantics mirrored from the binding:
+
+- world gravity = 9.8 * direction * 10 ("world is scaled by 10",
+  mmd-bullet_impl.inl:75); static ground plane y=0, friction 0.265 (:76-88)
+- bodies: sphere/box/capsule from PMX dims; kinematic bodies driven from the
+  animated bone (`PoserMotionState::Reset`, :21-26, 58-61); collision filter
+  (1<<group, mask) used exactly as libmmd passes it to Bullet (:205)
+- joints: btGeneric6DofSpringConstraint — frames localized into each body at
+  rest (:229-231), per-axis linear/angular limits, springs enabled on all six
+  axes with PMX stiffness (:234-245)
+- `React(step)`: integrate + solve, then Synchronize (body -> bone skinning
+  matrix for dynamic non-ghost bodies, :34-40), then Fix (PHYSICS_STRICT
+  bones re-pin translation, :42-56)
+
+Divergences from Bullet (documented, qualitative parity is the goal): the
+solver is positional (XPBD-style) rather than sequential-impulse, restitution
+is not modeled (MMD bodies are ~0-restitution cloth/hair), and box-box /
+capsule-box contacts use point-sampled approximations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..formats import pmx as P
+from ..utils import math3d as m3
+from .model import ModelStatic
+from .pose import PoseArrays
+
+_EPS = 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Static build
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PhysicsStatic:
+    n_bodies: int
+    n_joints: int
+    bone: np.ndarray          # [R] i32 (safe index; -1 -> 0)
+    has_bone: np.ndarray      # [R] bool
+    kinematic: np.ndarray     # [R] bool
+    strict: np.ndarray        # [R] bool
+    ghost: np.ndarray         # [R] bool
+    shape: np.ndarray         # [R] i32
+    dims: np.ndarray          # [R,3]
+    inv_mass: np.ndarray      # [R]
+    inv_inertia: np.ndarray   # [R,3] local diagonal
+    lin_damp: np.ndarray      # [R]
+    ang_damp: np.ndarray      # [R]
+    friction: np.ndarray      # [R]
+    rest_quat: np.ndarray     # [R,4] body frame rotation (YXZ euler)
+    rest_pos: np.ndarray      # [R,3] body frame origin
+    writeback: np.ndarray     # [R] bool — dynamic, non-ghost, last body on bone
+    pair_i: np.ndarray        # [Pn] i32 candidate collision pairs
+    pair_j: np.ndarray        # [Pn]
+    # joints
+    j_a: np.ndarray           # [C] i32
+    j_b: np.ndarray           # [C]
+    j_qa: np.ndarray          # [C,4] constraint frame rotation in body a
+    j_ta: np.ndarray          # [C,3] constraint frame origin in body a
+    j_qb: np.ndarray          # [C,4]
+    j_tb: np.ndarray          # [C,3]
+    j_lin_lo: np.ndarray      # [C,3]
+    j_lin_hi: np.ndarray      # [C,3]
+    j_ang_lo: np.ndarray      # [C,3]
+    j_ang_hi: np.ndarray      # [C,3]
+    j_k_lin: np.ndarray       # [C,3] spring stiffness
+    j_k_ang: np.ndarray       # [C,3]
+    body_joint_count: np.ndarray  # [R] joints touching each body (Jacobi avg)
+    body_pair_count: np.ndarray   # [R] candidate contacts per body
+
+
+@struct.dataclass
+class PhysicsState:
+    pos: jnp.ndarray     # [R,3]
+    quat: jnp.ndarray    # [R,4]
+    vel: jnp.ndarray     # [R,3]
+    omega: jnp.ndarray   # [R,3]
+
+
+def _shape_inertia(shape, dims, mass):
+    """Local diagonal inertia like Bullet's calculateLocalInertia."""
+    if mass <= 0:
+        return np.zeros(3, np.float32)
+    x, y, z = float(dims[0]), float(dims[1]), float(dims[2])
+    if shape == P.SHAPE_SPHERE:
+        i = 0.4 * mass * x * x
+        return np.array([i, i, i], np.float32)
+    if shape == P.SHAPE_BOX:
+        return (mass / 3.0) * np.array(
+            [y * y + z * z, x * x + z * z, x * x + y * y], np.float32)
+    # capsule (radius x, cylinder height y, axis Y) — Bullet's approximation
+    r, h = x, y
+    # treat as box-ish like btCapsuleShape::calculateLocalInertia
+    half = np.array([r, r + 0.5 * h, r], np.float32)
+    lx, ly, lz = 2 * half
+    return (mass / 12.0) * np.array(
+        [ly * ly + lz * lz, lx * lx + lz * lz, lx * lx + ly * ly], np.float32)
+
+
+def _yxz_quat(e):
+    """YXZ euler -> quat (body/constraint frames, mmd-bullet_impl.inl:183)."""
+    cx, sx = np.cos(e[0] * 0.5), np.sin(e[0] * 0.5)
+    cy, sy = np.cos(e[1] * 0.5), np.sin(e[1] * 0.5)
+    cz, sz = np.cos(e[2] * 0.5), np.sin(e[2] * 0.5)
+    return np.array([
+        sx * cy * cz + cx * sy * sz,
+        cx * sy * cz - sx * cy * sz,
+        cx * cy * sz - sx * sy * cz,
+        cx * cy * cz + sx * sy * sz], np.float32)
+
+
+def _q_conj_np(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]], np.float32)
+
+
+def _q_mul_np(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by + ay * bw + az * bx - ax * bz,
+        aw * bz + az * bw + ax * by - ay * bx,
+        aw * bw - (ax * bx + ay * by + az * bz)], np.float32)
+
+
+def _q_rot_np(q, v):
+    qv = q[:3]
+    t = 2.0 * np.cross(qv, v)
+    return v + q[3] * t + np.cross(qv, t)
+
+
+def build_physics(static: ModelStatic) -> PhysicsStatic:
+    bodies = static.rigid_bodies
+    joints = static.constraints
+    r = len(bodies)
+    c = len(joints)
+
+    bone = np.zeros(r, np.int32)
+    has_bone = np.zeros(r, bool)
+    kin = np.zeros(r, bool)
+    strict = np.zeros(r, bool)
+    ghost = np.zeros(r, bool)
+    shape = np.zeros(r, np.int32)
+    dims = np.zeros((r, 3), np.float32)
+    inv_mass = np.zeros(r, np.float32)
+    inv_inertia = np.zeros((r, 3), np.float32)
+    lin_damp = np.zeros(r, np.float32)
+    ang_damp = np.zeros(r, np.float32)
+    friction = np.zeros(r, np.float32)
+    rest_quat = np.tile(np.array([0, 0, 0, 1], np.float32), (r, 1))
+    rest_pos = np.zeros((r, 3), np.float32)
+    group = np.zeros(r, np.int32)
+    mask = np.zeros(r, np.int32)
+
+    for i, b in enumerate(bodies):
+        bone[i] = max(b.bone, 0)
+        has_bone[i] = b.bone >= 0
+        kin[i] = b.type == P.RIGID_KINEMATIC
+        strict[i] = b.type == P.RIGID_PHYSICS_STRICT
+        ghost[i] = b.type == P.RIGID_PHYSICS_GHOST
+        shape[i] = b.shape
+        dims[i] = b.dimensions
+        if not kin[i] and b.mass > 0:
+            inv_mass[i] = 1.0 / b.mass
+            inertia = _shape_inertia(b.shape, b.dimensions, b.mass)
+            inv_inertia[i] = np.where(inertia > 0, 1.0 / np.maximum(inertia, 1e-12), 0.0)
+        lin_damp[i] = b.linear_damping
+        ang_damp[i] = b.angular_damping
+        friction[i] = b.friction
+        rest_quat[i] = _yxz_quat(b.rotation)
+        rest_pos[i] = b.position
+        group[i] = b.group
+        mask[i] = b.mask
+
+    # last dynamic non-ghost body per bone wins the skinning write-back
+    writeback = np.zeros(r, bool)
+    seen = set()
+    for i in range(r - 1, -1, -1):
+        if (not kin[i]) and (not ghost[i]) and has_bone[i]:
+            bi = int(bone[i])
+            if bi not in seen:
+                writeback[i] = True
+                seen.add(bi)
+
+    # candidate pairs with the reference's Bullet-style filter:
+    # (1<<group_a) & mask_b  and  (1<<group_b) & mask_a, at least one dynamic
+    pi, pj = [], []
+    for i in range(r):
+        for j in range(i + 1, r):
+            if kin[i] and kin[j]:
+                continue
+            if ((1 << group[i]) & mask[j]) and ((1 << group[j]) & mask[i]):
+                pi.append(i)
+                pj.append(j)
+
+    j_a = np.zeros(c, np.int32)
+    j_b = np.zeros(c, np.int32)
+    j_qa = np.tile(np.array([0, 0, 0, 1], np.float32), (c, 1))
+    j_ta = np.zeros((c, 3), np.float32)
+    j_qb = np.tile(np.array([0, 0, 0, 1], np.float32), (c, 1))
+    j_tb = np.zeros((c, 3), np.float32)
+    j_lin_lo = np.zeros((c, 3), np.float32)
+    j_lin_hi = np.zeros((c, 3), np.float32)
+    j_ang_lo = np.zeros((c, 3), np.float32)
+    j_ang_hi = np.zeros((c, 3), np.float32)
+    j_k_lin = np.zeros((c, 3), np.float32)
+    j_k_ang = np.zeros((c, 3), np.float32)
+
+    for i, jt in enumerate(joints):
+        a = max(jt.body_a, 0)
+        b = max(jt.body_b, 0)
+        j_a[i], j_b[i] = a, b
+        qc = _yxz_quat(jt.rotation)
+        tc = jt.position.astype(np.float32)
+        # localize the constraint frame into each body's rest frame
+        for q_out, t_out, body in ((j_qa, j_ta, a), (j_qb, j_tb, b)):
+            qi = _q_conj_np(rest_quat[body])
+            q_out[i] = _q_mul_np(qi, qc)
+            t_out[i] = _q_rot_np(qi, tc - rest_pos[body])
+        j_lin_lo[i], j_lin_hi[i] = jt.pos_lo, jt.pos_hi
+        j_ang_lo[i], j_ang_hi[i] = jt.rot_lo, jt.rot_hi
+        j_k_lin[i] = jt.spring_translate
+        j_k_ang[i] = jt.spring_rotate
+
+    body_joint_count = np.ones(r, np.float32)
+    for i in range(c):
+        body_joint_count[j_a[i]] += 1
+        body_joint_count[j_b[i]] += 1
+    body_pair_count = np.ones(r, np.float32)
+    for a, b in zip(pi, pj):
+        body_pair_count[a] += 1
+        body_pair_count[b] += 1
+
+    return PhysicsStatic(
+        n_bodies=r, n_joints=c, bone=bone, has_bone=has_bone, kinematic=kin,
+        strict=strict, ghost=ghost, shape=shape, dims=dims, inv_mass=inv_mass,
+        inv_inertia=inv_inertia, lin_damp=lin_damp, ang_damp=ang_damp,
+        friction=friction, rest_quat=rest_quat, rest_pos=rest_pos,
+        writeback=writeback,
+        pair_i=np.asarray(pi, np.int32), pair_j=np.asarray(pj, np.int32),
+        j_a=j_a, j_b=j_b, j_qa=j_qa, j_ta=j_ta, j_qb=j_qb, j_tb=j_tb,
+        j_lin_lo=j_lin_lo, j_lin_hi=j_lin_hi, j_ang_lo=j_ang_lo,
+        j_ang_hi=j_ang_hi, j_k_lin=j_k_lin, j_k_ang=j_k_ang,
+        body_joint_count=body_joint_count, body_pair_count=body_pair_count)
+
+
+# ---------------------------------------------------------------------------
+# Animation-driven body targets (PoserMotionState::Reset)
+# ---------------------------------------------------------------------------
+
+def _mat_to_quat(m):
+    """Rotation 3x3 -> quaternion (x,y,z,w), branch-free-ish."""
+    t = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    qw = jnp.sqrt(jnp.maximum(1.0 + t, 1e-12)) * 0.5
+    qx = (m[..., 2, 1] - m[..., 1, 2]) / (4 * jnp.maximum(qw, 1e-6))
+    qy = (m[..., 0, 2] - m[..., 2, 0]) / (4 * jnp.maximum(qw, 1e-6))
+    qz = (m[..., 1, 0] - m[..., 0, 1]) / (4 * jnp.maximum(qw, 1e-6))
+    q = jnp.stack([qx, qy, qz, qw], -1)
+    return m3.quat_normalize(q)
+
+
+def body_targets(ps: PhysicsStatic, pose: PoseArrays):
+    """World transform each body would have if rigidly following its animated
+    bone: W = skin[bone] @ rest_frame (mmd-bullet_impl.inl:58-61)."""
+    skin = pose.skin[jnp.asarray(ps.bone)]
+    rq = jnp.asarray(ps.rest_quat)
+    rp = jnp.asarray(ps.rest_pos)
+    rot = skin[:, :3, :3]
+    pos = jnp.einsum("rij,rj->ri", rot, rp) + skin[:, :3, 3]
+    quat = m3.quat_mul(_mat_to_quat(rot), rq)
+    return pos, quat
+
+
+def physics_reset(ps: PhysicsStatic, pose: PoseArrays) -> PhysicsState:
+    """Seed body states from the current animation pose, zero velocities
+    (BulletPhysicsReactor::Reset, mmd-bullet_impl.inl:285-310)."""
+    pos, quat = body_targets(ps, pose)
+    return PhysicsState(pos=pos, quat=quat,
+                        vel=jnp.zeros_like(pos),
+                        omega=jnp.zeros_like(pos))
+
+
+# ---------------------------------------------------------------------------
+# Contacts
+# ---------------------------------------------------------------------------
+
+def _support_points(shape, dims, pos, quat):
+    """Sample points for point-based contact approximations: center + shape
+    extremes. Returns [K,3] world points and their radius (for spheres the
+    sample IS the center with radius r)."""
+    raise NotImplementedError  # not used; kept for documentation
+
+
+def _capsule_segment(dims, pos, quat):
+    """Capsule axis endpoints (axis = local Y, half-length h/2)."""
+    half = dims[..., 1:2] * 0.5
+    axis = m3.quat_rotate(quat, jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32), pos.shape))
+    return pos - axis * half, pos + axis * half
+
+
+def _closest_on_segment(p, a, b):
+    ab = b - a
+    t = jnp.sum((p - a) * ab, -1) / jnp.maximum(jnp.sum(ab * ab, -1), _EPS)
+    t = jnp.clip(t, 0.0, 1.0)
+    return a + t[..., None] * ab
+
+
+def _segment_segment(a0, a1, b0, b1):
+    """Approximate closest points between segments (iterative projection)."""
+    p = (a0 + a1) * 0.5
+    q = _closest_on_segment(p, b0, b1)
+    for _ in range(3):
+        p = _closest_on_segment(q, a0, a1)
+        q = _closest_on_segment(p, b0, b1)
+    return p, q
+
+
+def _point_box_depth(p_local, half):
+    """Penetration of a point into an axis-aligned box (local frame).
+    Returns (depth, normal_local): depth > 0 when inside/overlapping."""
+    d = half - jnp.abs(p_local)
+    inside = jnp.all(d > 0, -1)
+    # nearest face
+    axis = jnp.argmin(d, -1)
+    sgn = jnp.sign(jnp.take_along_axis(p_local, axis[..., None], -1))[..., 0]
+    n_local = jax.nn.one_hot(axis, 3, dtype=p_local.dtype) * sgn[..., None]
+    depth_in = jnp.take_along_axis(d, axis[..., None], -1)[..., 0]
+    # outside: clamp point to box, sphere-vs-point handled by caller via radius
+    clamped = jnp.clip(p_local, -half, half)
+    out_vec = p_local - clamped
+    out_dist = jnp.linalg.norm(out_vec, axis=-1)
+    n_out = out_vec / jnp.maximum(out_dist, _EPS)[..., None]
+    depth = jnp.where(inside, depth_in, -out_dist)
+    normal = jnp.where(inside[..., None], n_local, n_out)
+    return depth, normal
+
+
+def _sphere_rad(shape, dims):
+    return jnp.where(shape == P.SHAPE_SPHERE, dims[..., 0],
+                     jnp.where(shape == P.SHAPE_CAPSULE, dims[..., 0], 0.0))
+
+
+def pair_contacts(ps: PhysicsStatic, pos, quat):
+    """One contact per candidate pair: (point, normal i<-j, depth)."""
+    if len(ps.pair_i) == 0:
+        z = jnp.zeros((0, 3), jnp.float32)
+        return z, z, jnp.zeros((0,), jnp.float32)
+    i = jnp.asarray(ps.pair_i)
+    j = jnp.asarray(ps.pair_j)
+    shape = jnp.asarray(ps.shape)
+    dims = jnp.asarray(ps.dims)
+    si, sj = shape[i], shape[j]
+    di, dj = dims[i], dims[j]
+    xi, xj = pos[i], pos[j]
+    qi, qj = quat[i], quat[j]
+
+    # representative segment for each body: sphere/box -> degenerate at
+    # center; capsule -> its axis. Boxes get a closest-point correction.
+    a0i, a1i = _capsule_segment(di, xi, qi)
+    a0j, a1j = _capsule_segment(dj, xj, qj)
+    cap_i = (si == P.SHAPE_CAPSULE)[..., None]
+    cap_j = (sj == P.SHAPE_CAPSULE)[..., None]
+    a0i = jnp.where(cap_i, a0i, xi)
+    a1i = jnp.where(cap_i, a1i, xi)
+    a0j = jnp.where(cap_j, a0j, xj)
+    a1j = jnp.where(cap_j, a1j, xj)
+    pi_, pj_ = _segment_segment(a0i, a1i, a0j, a1j)
+
+    ri = _sphere_rad(si, di)
+    rj = _sphere_rad(sj, dj)
+
+    # sphere/capsule vs sphere/capsule
+    delta = pi_ - pj_
+    dist = jnp.linalg.norm(delta, axis=-1)
+    n_ss = delta / jnp.maximum(dist, _EPS)[..., None]
+    depth_ss = ri + rj - dist
+    point_ss = (pi_ + pj_) * 0.5
+
+    # something vs box: closest point of the other body's segment-sphere in
+    # the box frame
+    def vs_box(box_x, box_q, box_half, other_p, other_r):
+        local = m3.quat_rotate(m3.quat_conj(box_q), other_p - box_x)
+        depth, n_local = _point_box_depth(local, box_half)
+        n_world = m3.quat_rotate(box_q, n_local)
+        return depth + other_r, n_world
+
+    box_i = si == P.SHAPE_BOX
+    box_j = sj == P.SHAPE_BOX
+    depth_ib, n_ib = vs_box(xi, qi, di, pj_, rj)   # j into box i: normal j->out
+    depth_jb, n_jb = vs_box(xj, qj, dj, pi_, ri)   # i into box j
+
+    # select: box_j (and not box_i): normal from box j toward i
+    depth = jnp.where(box_j & ~box_i, depth_jb,
+                      jnp.where(box_i & ~box_j, depth_ib, depth_ss))
+    normal = jnp.where((box_j & ~box_i)[..., None], n_jb,
+                       jnp.where((box_i & ~box_j)[..., None], -n_ib, n_ss))
+    # box-box: approximate with center distance vs summed min half extents
+    minhalf_i = jnp.min(di, -1)
+    minhalf_j = jnp.min(dj, -1)
+    cd = jnp.linalg.norm(xi - xj, axis=-1)
+    depth_bb = minhalf_i + minhalf_j - cd
+    n_bb = (xi - xj) / jnp.maximum(cd, _EPS)[..., None]
+    both_box = box_i & box_j
+    depth = jnp.where(both_box, depth_bb, depth)
+    normal = jnp.where(both_box[..., None], n_bb, normal)
+
+    point = point_ss  # adequate for positional correction
+    return point, normal, depth
+
+
+def ground_contacts(ps: PhysicsStatic, pos, quat):
+    """Contacts against the static y=0 plane (mmd-bullet_impl.inl:76-88).
+    Returns per-body (depth, point): depth>0 when penetrating."""
+    shape = jnp.asarray(ps.shape)
+    dims = jnp.asarray(ps.dims)
+    r = _sphere_rad(shape, dims)
+    a0, a1 = _capsule_segment(dims, pos, quat)
+    is_cap = (shape == P.SHAPE_CAPSULE)
+    low_end = jnp.where((a0[..., 1] < a1[..., 1])[..., None], a0, a1)
+    p = jnp.where(is_cap[..., None], low_end, pos)
+    # boxes: deepest corner
+    is_box = shape == P.SHAPE_BOX
+    corners = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        jnp.float32)  # [8,3]
+    local = corners[None, :, :] * dims[:, None, :]
+    world = m3.quat_rotate(quat[:, None, :], local) + pos[:, None, :]
+    deepest = jnp.argmin(world[..., 1], axis=-1)
+    corner = jnp.take_along_axis(world, deepest[:, None, None], 1)[:, 0]
+    p = jnp.where(is_box[..., None], corner, p)
+    eff_r = jnp.where(is_box, 0.0, r)
+    depth = eff_r - p[..., 1]
+    point = p.at[..., 1].set(0.0)
+    return depth, point
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+def _inv_inertia_world(ps, quat):
+    rot = m3.quat_to_mat3(quat)
+    i_inv = jnp.asarray(ps.inv_inertia)
+    return jnp.einsum("rij,rj,rkj->rik", rot, i_inv, rot)
+
+
+def _apply_position_corrections(ps, pos, quat, idx_a, idx_b, n, c, r_a, r_b,
+                                alpha, count_scale, dt):
+    """Batched XPBD positional constraint projection with Jacobi averaging.
+
+    For each row k: bodies (a,b), world direction n, violation c (positive =
+    must separate along +n for a), anchors r (world, from body origin)."""
+    inv_m = jnp.asarray(ps.inv_mass)
+    iiw = _inv_inertia_world(ps, quat)
+
+    ra_x_n = jnp.cross(r_a, n)
+    rb_x_n = jnp.cross(r_b, n)
+    w_a = inv_m[idx_a] + jnp.einsum("ki,kij,kj->k", ra_x_n, iiw[idx_a], ra_x_n)
+    w_b = inv_m[idx_b] + jnp.einsum("ki,kij,kj->k", rb_x_n, iiw[idx_b], rb_x_n)
+    denom = w_a + w_b + alpha / (dt * dt)
+    lam = -c / jnp.maximum(denom, _EPS)
+    p = lam[..., None] * n
+
+    dpos_a = p * inv_m[idx_a][..., None]
+    dpos_b = -p * inv_m[idx_b][..., None]
+    dw_a = jnp.einsum("kij,kj->ki", iiw[idx_a], jnp.cross(r_a, p))
+    dw_b = -jnp.einsum("kij,kj->ki", iiw[idx_b], jnp.cross(r_b, p))
+
+    scale_a = count_scale[idx_a][..., None]
+    scale_b = count_scale[idx_b][..., None]
+    pos = pos.at[idx_a].add(dpos_a * scale_a)
+    pos = pos.at[idx_b].add(dpos_b * scale_b)
+
+    # rotational update accumulated as world-space small rotations
+    rot_acc = jnp.zeros_like(pos)
+    rot_acc = rot_acc.at[idx_a].add(dw_a * scale_a)
+    rot_acc = rot_acc.at[idx_b].add(dw_b * scale_b)
+    quat = _apply_small_rotation(quat, rot_acc)
+    return pos, quat
+
+
+def _apply_small_rotation(quat, w):
+    dq = m3.quat_mul(jnp.concatenate([w, jnp.zeros_like(w[..., :1])], -1), quat)
+    return m3.quat_normalize(quat + 0.5 * dq)
+
+
+def _apply_angular_corrections(ps, quat, idx_a, idx_b, axis, c, alpha,
+                               count_scale, dt):
+    iiw = _inv_inertia_world(ps, quat)
+    w_a = jnp.einsum("ki,kij,kj->k", axis, iiw[idx_a], axis)
+    w_b = jnp.einsum("ki,kij,kj->k", axis, iiw[idx_b], axis)
+    denom = w_a + w_b + alpha / (dt * dt)
+    lam = -c / jnp.maximum(denom, _EPS)
+    p = lam[..., None] * axis
+    dw_a = jnp.einsum("kij,kj->ki", iiw[idx_a], p)
+    dw_b = -jnp.einsum("kij,kj->ki", iiw[idx_b], p)
+    rot_acc = jnp.zeros_like(quat[..., :3])
+    rot_acc = rot_acc.at[idx_a].add(dw_a * count_scale[idx_a][..., None])
+    rot_acc = rot_acc.at[idx_b].add(dw_b * count_scale[idx_b][..., None])
+    return _apply_small_rotation(quat, rot_acc)
+
+
+def _joint_pass(ps: PhysicsStatic, pos, quat, dt):
+    if ps.n_joints == 0:
+        return pos, quat
+    a = jnp.asarray(ps.j_a)
+    b = jnp.asarray(ps.j_b)
+    scale = 1.0 / jnp.asarray(ps.body_joint_count)
+
+    qa = m3.quat_mul(quat[a], jnp.asarray(ps.j_qa))   # constraint frame (A)
+    qb = m3.quat_mul(quat[b], jnp.asarray(ps.j_qb))
+    pa = pos[a] + m3.quat_rotate(quat[a], jnp.asarray(ps.j_ta))
+    pb = pos[b] + m3.quat_rotate(quat[b], jnp.asarray(ps.j_tb))
+    frame = m3.quat_to_mat3(qa)                        # columns = axes
+
+    lo = jnp.asarray(ps.j_lin_lo)
+    hi = jnp.asarray(ps.j_lin_hi)
+    k_lin = jnp.asarray(ps.j_k_lin)
+
+    e = jnp.einsum("kij,kj->ki", jnp.transpose(frame, (0, 2, 1)), pb - pa)
+    free = lo > hi
+    target = jnp.clip(e, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+    viol = jnp.where(free, 0.0, e - target)
+    # spring toward 0 inside the limits (btGeneric6DofSpringConstraint with
+    # equilibrium 0): soft constraint with compliance 1/k
+    spring_on = k_lin > 0
+    spring_viol = jnp.where(spring_on & (jnp.abs(viol) < 1e-12), e - 0.0, 0.0)
+
+    r_a = pa - pos[a]
+    r_b = pb - pos[b]
+    for axis_i in range(3):
+        n = frame[:, :, axis_i]
+        # hard limit part (compliance 0)
+        pos, quat = _apply_position_corrections(
+            ps, pos, quat, a, b, n, -viol[:, axis_i], r_a, r_b,
+            jnp.zeros_like(viol[:, axis_i]), scale, dt)
+        # spring part
+        alpha = jnp.where(spring_on[:, axis_i],
+                          1.0 / jnp.maximum(k_lin[:, axis_i], 1e-6), 1e12)
+        pos, quat = _apply_position_corrections(
+            ps, pos, quat, a, b, n, -spring_viol[:, axis_i], r_a, r_b,
+            alpha, scale, dt)
+
+    # angular: relative rotation decomposed on the A-frame axes (XYZ euler,
+    # like Bullet's 6dof)
+    q_rel = m3.quat_mul(m3.quat_conj(qa), qb)
+    ang = m3.quat_to_euler(q_rel, "xyz")
+    alo = jnp.asarray(ps.j_ang_lo)
+    ahi = jnp.asarray(ps.j_ang_hi)
+    k_ang = jnp.asarray(ps.j_k_ang)
+    afree = alo > ahi
+    atarget = jnp.clip(ang, jnp.minimum(alo, ahi), jnp.maximum(alo, ahi))
+    aviol = jnp.where(afree, 0.0, ang - atarget)
+    aspring_on = k_ang > 0
+    aspring_viol = jnp.where(aspring_on & (jnp.abs(aviol) < 1e-12), ang, 0.0)
+
+    for axis_i in range(3):
+        axis = frame[:, :, axis_i]
+        quat = _apply_angular_corrections(
+            ps, quat, a, b, axis, -aviol[:, axis_i],
+            jnp.zeros_like(aviol[:, axis_i]), scale, dt)
+        alpha = jnp.where(aspring_on[:, axis_i],
+                          1.0 / jnp.maximum(k_ang[:, axis_i], 1e-6), 1e12)
+        quat = _apply_angular_corrections(
+            ps, quat, a, b, axis, -aspring_viol[:, axis_i], alpha, scale, dt)
+    return pos, quat
+
+
+def _contact_pass(ps: PhysicsStatic, pos, quat, has_floor, dt):
+    inv_m = jnp.asarray(ps.inv_mass)
+    # pairwise
+    if len(ps.pair_i):
+        i = jnp.asarray(ps.pair_i)
+        j = jnp.asarray(ps.pair_j)
+        point, n, depth = pair_contacts(ps, pos, quat)
+        depth = jnp.maximum(depth, 0.0)
+        scale = 1.0 / jnp.asarray(ps.body_pair_count)
+        r_a = point - pos[i]
+        r_b = point - pos[j]
+        pos, quat = _apply_position_corrections(
+            ps, pos, quat, i, j, n, -depth, r_a, r_b,
+            jnp.zeros_like(depth), scale, dt)
+    # ground plane
+    depth, point = ground_contacts(ps, pos, quat)
+    depth = jnp.where(has_floor, jnp.maximum(depth, 0.0), 0.0)
+    dyn = inv_m > 0
+    push = jnp.where(dyn, depth, 0.0)
+    pos = pos.at[:, 1].add(push)
+    return pos, quat
+
+
+def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
+                    target_quat, cfg, dt):
+    inv_m = jnp.asarray(ps.inv_mass)
+    dyn = (inv_m > 0)[:, None]
+
+    g = (jnp.asarray(cfg.gravity_direction, jnp.float32)
+         * cfg.gravity_strength * cfg.world_scale)
+    vel = state.vel + g[None, :] * dt
+    vel = vel * jnp.power(1.0 - jnp.asarray(ps.lin_damp), dt)[:, None]
+    omega = state.omega * jnp.power(1.0 - jnp.asarray(ps.ang_damp), dt)[:, None]
+
+    pos0 = jnp.where(dyn, state.pos, target_pos)
+    quat0 = jnp.where(dyn, state.quat, target_quat)
+
+    pos = pos0 + jnp.where(dyn, vel * dt, 0.0)
+    quat = jnp.where(dyn, _apply_small_rotation(quat0, omega * dt), quat0)
+
+    for _ in range(cfg.solver_iterations):
+        pos, quat = _joint_pass(ps, pos, quat, dt)
+        pos, quat = _contact_pass(ps, pos, quat, cfg.has_floor, dt)
+        pos = jnp.where(dyn, pos, target_pos)
+        quat = jnp.where(dyn, quat, target_quat)
+
+    vel_new = (pos - pos0) / dt
+    dq = m3.quat_mul(quat, m3.quat_conj(quat0))
+    sign = jnp.sign(dq[..., 3:4])
+    omega_new = 2.0 * dq[..., :3] * sign / dt
+    vel = jnp.where(dyn, vel_new, 0.0)
+    omega = jnp.where(dyn, omega_new, 0.0)
+    return PhysicsState(pos=pos, quat=quat, vel=vel, omega=omega)
+
+
+def physics_react(static: ModelStatic, ps: PhysicsStatic, state: PhysicsState,
+                  pose: PoseArrays, cfg) -> tuple[PhysicsState, PoseArrays]:
+    """Full React(step): substeps at substep_hz, then Synchronize + Fix
+    write-back into the pose (mmd-bullet_impl.inl:312-326)."""
+    if ps.n_bodies == 0:
+        return state, pose
+    target_pos, target_quat = body_targets(ps, pose)
+    sub_dt = 1.0 / cfg.substep_hz
+    n_sub = max(1, round(cfg.dt * cfg.substep_hz))
+    for _ in range(n_sub):
+        state = physics_substep(ps, state, target_pos, target_quat, cfg, sub_dt)
+
+    # Synchronize: skin[bone] = W_body @ rest_frame^-1 for dynamic non-ghost
+    wb = jnp.asarray(ps.writeback)
+    rot = m3.quat_to_mat3(m3.quat_mul(state.quat,
+                                      m3.quat_conj(jnp.asarray(ps.rest_quat))))
+    trans = state.pos - jnp.einsum(
+        "rij,rj->ri", rot, jnp.asarray(ps.rest_pos))
+    skin_new = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                rot.shape[:1] + (4, 4))
+    skin_new = skin_new.at[:, :3, :3].set(rot).at[:, :3, 3].set(trans)
+
+    bones = jnp.asarray(ps.bone)
+    skin = pose.skin
+    cur = skin[bones]
+    skin = skin.at[bones].set(jnp.where(wb[:, None, None], skin_new, cur))
+    pose = pose.replace(skin=skin)
+
+    # Fix: strict bodies re-pin the bone translation (mmd-bullet_impl.inl:42-56)
+    strict_ids = [i for i in range(ps.n_bodies)
+                  if ps.strict[i] and ps.writeback[i]]
+    for i in strict_ids:
+        bone = int(ps.bone[i])
+        rest = jnp.asarray(static.bone_rest[bone])
+        parent = int(static.bone_parent[bone])
+        skin_b = pose.skin[bone]
+        local = skin_b.at[:3, 3].add(skin_b[:3, :3] @ rest)  # skin @ T(rest)
+        if parent >= 0:
+            pw = pose.world[parent]
+            local = jnp.linalg.inv(pw) @ local
+        local = local.at[:3, 3].set(
+            pose.total_trans[bone] + jnp.asarray(static.local_offset[bone]))
+        world_b = (pose.world[parent] @ local) if parent >= 0 else local
+        skin_fixed = world_b.at[:3, 3].add(-world_b[:3, :3] @ rest)
+        pose = pose.replace(
+            world=pose.world.at[bone].set(world_b),
+            skin=pose.skin.at[bone].set(skin_fixed))
+    return state, pose

@@ -1,0 +1,227 @@
+import numpy as np
+import jax.numpy as jnp
+
+from simple_mmd_renderer_tpu.formats import pmx as P
+from simple_mmd_renderer_tpu.core import model as M
+from simple_mmd_renderer_tpu.core import pose as PO
+from simple_mmd_renderer_tpu.core import physics as PH
+from simple_mmd_renderer_tpu.config import PhysicsConfig
+
+from fixtures import two_bone_arm
+
+
+def _body(name, bone, shape=P.SHAPE_SPHERE, dims=(1.0, 0, 0), pos=(0, 10, 0),
+          rot=(0, 0, 0), mass=1.0, btype=P.RIGID_PHYSICS, group=0,
+          mask=0xFFFF, damp=0.0):
+    return P.RigidBody(name, name, bone, group, mask, shape,
+                       np.asarray(dims, np.float32),
+                       np.asarray(pos, np.float32),
+                       np.asarray(rot, np.float32),
+                       mass, damp, damp, 0.0, 0.5, btype)
+
+
+def _joint(a, b, pos, lin_lo=(0, 0, 0), lin_hi=(0, 0, 0),
+           ang_lo=(0, 0, 0), ang_hi=(0, 0, 0), k_lin=(0, 0, 0),
+           k_ang=(0, 0, 0), rot=(0, 0, 0)):
+    return P.Constraint("j", "j", a, b, np.asarray(pos, np.float32),
+                        np.asarray(rot, np.float32),
+                        np.asarray(lin_lo, np.float32),
+                        np.asarray(lin_hi, np.float32),
+                        np.asarray(ang_lo, np.float32),
+                        np.asarray(ang_hi, np.float32),
+                        np.asarray(k_lin, np.float32),
+                        np.asarray(k_ang, np.float32))
+
+
+def _setup(bodies, joints=()):
+    pm = two_bone_arm()
+    pm.rigid_bodies = list(bodies)
+    pm.constraints = list(joints)
+    static = M.build_model(pm)
+    ps = PH.build_physics(static)
+    b = static.n_bones
+    rot = jnp.tile(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 1))
+    trans = jnp.zeros((b, 3), jnp.float32)
+    rates = jnp.zeros(static.n_morphs, jnp.float32)
+    pose = PO.pre_physics_posing(static, rot, trans, rates)
+    return pm, static, ps, pose
+
+
+def _jit_react(static, ps, cfg):
+    import jax
+
+    @jax.jit
+    def step(state, pose):
+        return PH.physics_react(static, ps, state, pose, cfg)
+
+    return step
+
+
+def test_free_fall():
+    pm, static, ps, pose = _setup(
+        [_body("ball", -1, pos=(0, 100, 0), mask=0)])
+    cfg = PhysicsConfig(has_floor=False)
+    state = PH.physics_reset(ps, pose)
+    y0 = float(state.pos[0, 1])
+    t = 0.0
+    step = _jit_react(static, ps, cfg)
+    for _ in range(30):  # 1 second
+        state, pose = step(state, pose)
+        t += cfg.dt
+    # y ~ y0 - 0.5*g*t^2 with g = 98 (x10 world scale)
+    expect = y0 - 0.5 * 98.0 * t * t
+    assert abs(float(state.pos[0, 1]) - expect) < 5.0
+    assert abs(float(state.vel[0, 1]) + 98.0) < 5.0
+
+
+def test_sphere_settles_on_floor():
+    pm, static, ps, pose = _setup(
+        [_body("ball", -1, dims=(1.5, 0, 0), pos=(0, 6, 0), mask=0)])
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose)
+    step = _jit_react(static, ps, cfg)
+    for _ in range(90):  # 3 seconds
+        state, pose = step(state, pose)
+    assert abs(float(state.pos[0, 1]) - 1.5) < 0.1
+    assert abs(float(state.vel[0, 1])) < 2.0
+
+
+def test_kinematic_follows_bone():
+    pm, static, ps, pose0 = _setup(
+        [_body("anchor", 0, pos=(0, 0, 0), btype=P.RIGID_KINEMATIC, mass=0.0)])
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose0)
+    # move bone 0 up by 3
+    b = static.n_bones
+    rot = jnp.tile(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 1))
+    trans = jnp.zeros((b, 3), jnp.float32).at[0, 1].set(3.0)
+    rates = jnp.zeros(static.n_morphs, jnp.float32)
+    pose = PO.pre_physics_posing(static, rot, trans, rates)
+    state, pose = PH.physics_react(static, ps, state, pose, cfg)
+    np.testing.assert_allclose(state.pos[0], [0, 3, 0], atol=1e-5)
+
+
+def test_locked_joint_hangs_and_swings():
+    # kinematic anchor at bone0 origin; dynamic ball 2 units along +x,
+    # joint at the anchor with locked linear axes and free angular axes
+    bodies = [
+        _body("anchor", 0, pos=(0, 0, 0), btype=P.RIGID_KINEMATIC, mass=0.0,
+              group=0, mask=0),
+        _body("ball", -1, dims=(0.5, 0, 0), pos=(2, 0, 0), mass=1.0,
+              group=1, mask=0),
+    ]
+    joints = [_joint(0, 1, pos=(0, 0, 0),
+                     ang_lo=(1, 1, 1), ang_hi=(-1, -1, -1))]  # lo>hi: free
+    pm, static, ps, pose = _setup(bodies, joints)
+    cfg = PhysicsConfig(has_floor=False)
+    state = PH.physics_reset(ps, pose)
+    dist0 = float(jnp.linalg.norm(state.pos[1] - state.pos[0]))
+    step = _jit_react(static, ps, cfg)
+    for _ in range(60):
+        state, pose = step(state, pose)
+    # the ball swings down around the anchor, roughly preserving distance
+    dist = float(jnp.linalg.norm(state.pos[1] - state.pos[0]))
+    assert abs(dist - dist0) < 0.5
+    assert float(state.pos[1, 1]) < -0.5  # fell below the anchor
+
+
+def test_angular_spring_resists_gravity():
+    bodies = [
+        _body("anchor", 0, pos=(0, 0, 0), btype=P.RIGID_KINEMATIC, mass=0.0,
+              group=0, mask=0),
+        _body("ball", -1, dims=(0.5, 0, 0), pos=(2, 0, 0), mass=1.0,
+              group=1, mask=0),
+    ]
+    stiff = [_joint(0, 1, pos=(0, 0, 0), ang_lo=(1, 1, 1),
+                    ang_hi=(-1, -1, -1), k_ang=(5000.0, 5000.0, 5000.0))]
+    loose = [_joint(0, 1, pos=(0, 0, 0), ang_lo=(1, 1, 1),
+                    ang_hi=(-1, -1, -1))]
+    drops = []
+    for joints in (stiff, loose):
+        pm, static, ps, pose = _setup(bodies, joints)
+        cfg = PhysicsConfig(has_floor=False)
+        state = PH.physics_reset(ps, pose)
+        step = _jit_react(static, ps, cfg)
+        for _ in range(30):
+            state, pose = step(state, pose)
+        drops.append(-float(state.pos[1, 1]))
+    assert drops[0] < drops[1] - 0.2, f"spring should resist sag: {drops}"
+
+
+def test_writeback_dynamic_vs_ghost():
+    for btype, expect_write in ((P.RIGID_PHYSICS, True),
+                                (P.RIGID_PHYSICS_GHOST, False),
+                                (P.RIGID_KINEMATIC, False)):
+        pm, static, ps, pose = _setup(
+            [_body("b", 1, pos=(1, 0, 0), btype=btype,
+                   mass=0.0 if btype == P.RIGID_KINEMATIC else 1.0, mask=0)])
+        cfg = PhysicsConfig(has_floor=False)
+        state = PH.physics_reset(ps, pose)
+        skin_before = np.asarray(pose.skin[1])
+        state, pose2 = PH.physics_react(static, ps, state, pose, cfg)
+        moved = not np.allclose(np.asarray(pose2.skin[1]), skin_before,
+                                atol=1e-4)
+        assert moved == expect_write, (btype, moved)
+
+
+def test_sphere_sphere_contact_separates():
+    bodies = [
+        _body("a", -1, dims=(1.0, 0, 0), pos=(0, 5, 0), group=0, mask=0xFFFF),
+        _body("b", -1, dims=(1.0, 0, 0), pos=(0.5, 5.3, 0), group=0,
+              mask=0xFFFF),
+    ]
+    pm, static, ps, pose = _setup(bodies)
+    assert len(ps.pair_i) == 1
+    cfg = PhysicsConfig(has_floor=False)
+    state = PH.physics_reset(ps, pose)
+    state, pose = PH.physics_react(static, ps, state, pose, cfg)
+    d = float(jnp.linalg.norm(state.pos[0] - state.pos[1]))
+    assert d > 1.6  # overlapping spheres pushed apart toward r0+r1=2
+
+
+def test_collision_mask_filtering():
+    bodies = [
+        _body("a", -1, group=0, mask=0xFFFE),  # doesn't collide with group 0
+        _body("b", -1, group=0, mask=0xFFFF),
+    ]
+    pm, static, ps, pose = _setup(bodies)
+    assert len(ps.pair_i) == 0
+
+
+def test_hair_chain_stable_10s():
+    # kinematic root + 3-link chain of capsules with limited joints, driven by
+    # a waving bone — must not explode over 10 simulated seconds
+    bodies = [_body("root", 0, btype=P.RIGID_KINEMATIC, mass=0.0,
+                    pos=(0, 0, 0), group=0, mask=0)]
+    joints = []
+    for k in range(3):
+        bodies.append(_body(f"link{k}", -1, shape=P.SHAPE_CAPSULE,
+                            dims=(0.3, 1.0, 0), pos=(0, -1.5 * (k + 1), 0),
+                            mass=0.2, damp=0.5, group=1, mask=0))
+        joints.append(_joint(k, k + 1, pos=(0, -1.5 * k - 0.75, 0),
+                             ang_lo=(-0.5, -0.5, -0.5), ang_hi=(0.5, 0.5, 0.5),
+                             k_ang=(50.0, 50.0, 50.0)))
+    pm, static, ps, pose = _setup(bodies, joints)
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose)
+    b = static.n_bones
+    rates = jnp.zeros(static.n_morphs, jnp.float32)
+    rot0 = jnp.tile(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 1))
+    import jax
+
+    @jax.jit
+    def frame(state, rot):
+        pose = PO.pre_physics_posing(static, rot, jnp.zeros((b, 3)), rates)
+        return PH.physics_react(static, ps, state, pose, cfg)
+
+    for f in range(300):
+        ang = 0.6 * np.sin(f / 15.0)
+        rot = rot0.at[0].set(jnp.asarray(
+            [0, 0, np.sin(ang / 2), np.cos(ang / 2)], jnp.float32))
+        state, pose = frame(state, rot)
+        if f % 30 == 0:
+            assert np.isfinite(np.asarray(state.pos)).all()
+    assert float(jnp.abs(state.pos).max()) < 50.0, "chain exploded"
+    # chain stays connected
+    gaps = np.linalg.norm(np.diff(np.asarray(state.pos), axis=0), axis=-1)
+    assert (gaps < 4.0).all()
