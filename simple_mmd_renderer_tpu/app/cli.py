@@ -1,0 +1,129 @@
+"""Command-line renderer — the headless equivalent of the reference app's
+`sokol_main` entry (`main.cpp:2483-2508`): arguments containing `.pmx` pick
+the model, `.vmd` the motion (same substring matching), plus flags for frame
+count, resolution and output. Renders PNG frames instead of a window.
+
+Usage:
+    python -m simple_mmd_renderer_tpu.app.cli model.pmx dance.vmd \
+        --frames 90 --out /tmp/frames --width 1280 --height 720
+    python -m simple_mmd_renderer_tpu.app.cli --sample --frames 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("paths", nargs="*",
+                    help=".pmx model and/or .vmd motion path")
+    ap.add_argument("--sample", action="store_true",
+                    help="use the procedural sample character + dance")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--out", default=None, help="PNG output directory")
+    ap.add_argument("--hdr", default=None, help="equirect .hdr environment")
+    ap.add_argument("--no-physics", action="store_true")
+    ap.add_argument("--no-shadows", action="store_true")
+    ap.add_argument("--shadow-size", type=int, default=2048)
+    ap.add_argument("--density", type=float, default=1.0,
+                    help="sample mesh density")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import AppConfig, RenderConfig
+    from ..core import anim as anim_mod
+    from ..core import model as model_mod
+    from ..core import physics as phys_mod
+    from ..core.scene import Scene
+    from ..formats import pmx as pmx_mod
+    from ..formats import vmd as vmd_mod
+    from ..formats.hdr import load_hdr
+    from ..formats.textures import load_material_textures
+    from ..render import ibl
+
+    model_path = next((p for p in args.paths if ".pmx" in p.lower()), None)
+    motion_path = next((p for p in args.paths if ".vmd" in p.lower()), None)
+
+    if args.sample or model_path is None:
+        from .sample import sample_character, sample_motion
+        print("using procedural sample character")
+        pm = sample_character(args.density)
+        motion = sample_motion(args.frames * 2)
+        textures = None
+        model_dir = "."
+    else:
+        print(f"loading model: {model_path}")
+        pm = pmx_mod.load_pmx(model_path)
+        model_dir = os.path.dirname(os.path.abspath(model_path))
+        motion = vmd_mod.load_vmd(motion_path) if motion_path else None
+        textures = True
+
+    static = model_mod.build_model(pm)
+    print(f"model '{static.name}': {len(static.positions)} verts, "
+          f"{len(static.triangles)} tris, {static.n_bones} bones, "
+          f"{len(pm.rigid_bodies)} bodies, {len(pm.constraints)} joints")
+
+    part_textures = (load_material_textures(static, model_dir)
+                     if textures else None)
+    mo = anim_mod.bind_motion(static, motion) if motion else None
+    ps = phys_mod.build_physics(static)
+
+    cfg = AppConfig()
+    cfg.render = RenderConfig(width=args.width, height=args.height,
+                              shadow_map_size=args.shadow_size,
+                              shadows_enabled=not args.no_shadows)
+    cfg.physics.enabled = not args.no_physics
+
+    cubemap = None
+    if args.hdr and os.path.isfile(args.hdr):
+        print(f"loading HDR environment: {args.hdr}")
+        cubemap = ibl.equirect_to_cubemap(
+            jnp.asarray(load_hdr(args.hdr)), cfg.render.cubemap_size)
+    else:
+        cfg.render.show_skybox = cubemap is not None
+
+    scene = Scene(static, ps, mo, cfg, part_textures=part_textures,
+                  cubemap=cubemap)
+    state = scene.init_state()
+    step = scene.jit_step(render=True)
+
+    print(f"compiling for {args.width}x{args.height} "
+          f"on {jax.devices()[0].platform}...")
+    t0 = time.time()
+    state, image = step(state)
+    image.block_until_ready()
+    print(f"first frame (compile): {time.time() - t0:.1f}s")
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    def save(i, img):
+        if args.out:
+            from PIL import Image
+            Image.fromarray((np.asarray(img) * 255).astype(np.uint8)).save(
+                os.path.join(args.out, f"frame_{i:05d}.png"))
+
+    save(0, image)
+    t0 = time.time()
+    for i in range(1, args.frames):
+        state, image = step(state)
+        save(i, image)
+    image.block_until_ready()
+    dt = time.time() - t0
+    n = max(args.frames - 1, 1)
+    print(f"{n} frames in {dt:.2f}s -> {n / dt:.1f} fps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,6 +51,10 @@ class RenderConfig:
     specular_power: float = 64.0
     specular_intensity: float = 1.0
 
+    # rasterizer path: "auto" picks the binned pallas kernel on TPU for
+    # non-trivial meshes, the exact scan rasterizer otherwise
+    raster_mode: str = "auto"
+
     # skybox / ground
     show_skybox: bool = True
     show_ground: bool = True

@@ -515,6 +515,8 @@ def _apply_angular_corrections(ps, quat, idx_a, idx_b, axis, c, alpha,
 
 
 def _joint_pass(ps: PhysicsStatic, pos, quat, dt):
+    """All 6DOF joint axes as batched constraint rows: 6C linear rows (3 hard
+    limit + 3 spring) in one scatter, 6C angular rows in another."""
     if ps.n_joints == 0:
         return pos, quat
     a = jnp.asarray(ps.j_a)
@@ -539,21 +541,31 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt):
     # equilibrium 0): soft constraint with compliance 1/k
     spring_on = k_lin > 0
     spring_viol = jnp.where(spring_on & (jnp.abs(viol) < 1e-12), e - 0.0, 0.0)
+    alpha_spring = jnp.where(spring_on, 1.0 / jnp.maximum(k_lin, 1e-6), 1e12)
 
     r_a = pa - pos[a]
     r_b = pb - pos[b]
-    for axis_i in range(3):
-        n = frame[:, :, axis_i]
-        # hard limit part (compliance 0)
-        pos, quat = _apply_position_corrections(
-            ps, pos, quat, a, b, n, -viol[:, axis_i], r_a, r_b,
-            jnp.zeros_like(viol[:, axis_i]), scale, dt)
-        # spring part
-        alpha = jnp.where(spring_on[:, axis_i],
-                          1.0 / jnp.maximum(k_lin[:, axis_i], 1e-6), 1e12)
-        pos, quat = _apply_position_corrections(
-            ps, pos, quat, a, b, n, -spring_viol[:, axis_i], r_a, r_b,
-            alpha, scale, dt)
+    axes = jnp.transpose(frame, (0, 2, 1))            # [C,3(axis),3]
+
+    def rows3(vals):  # [C,3] -> [3C]
+        return vals.T.reshape(-1)
+
+    def rows3v(vals):  # [C,3,3] by axis -> [3C,3]
+        return jnp.transpose(vals, (1, 0, 2)).reshape(-1, 3)
+
+    idx3_a = jnp.tile(a, 3)
+    idx3_b = jnp.tile(b, 3)
+    n_rows = jnp.concatenate([rows3v(axes), rows3v(axes)])
+    c_rows = jnp.concatenate([-rows3(viol), -rows3(spring_viol)])
+    alpha_rows = jnp.concatenate([jnp.zeros(3 * ps.n_joints, jnp.float32),
+                                  rows3(alpha_spring)])
+    pos, quat = _apply_position_corrections(
+        ps, pos, quat, jnp.tile(idx3_a, 2), jnp.tile(idx3_b, 2), n_rows,
+        c_rows, jnp.tile(rows3v(jnp.broadcast_to(r_a[:, None, :],
+                                                 r_a.shape[:1] + (3, 3))), (2, 1)),
+        jnp.tile(rows3v(jnp.broadcast_to(r_b[:, None, :],
+                                         r_b.shape[:1] + (3, 3))), (2, 1)),
+        alpha_rows, scale, dt)
 
     # angular: relative rotation decomposed on the A-frame axes (XYZ euler,
     # like Bullet's 6dof)
@@ -567,16 +579,15 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt):
     aviol = jnp.where(afree, 0.0, ang - atarget)
     aspring_on = k_ang > 0
     aspring_viol = jnp.where(aspring_on & (jnp.abs(aviol) < 1e-12), ang, 0.0)
+    aalpha = jnp.where(aspring_on, 1.0 / jnp.maximum(k_ang, 1e-6), 1e12)
 
-    for axis_i in range(3):
-        axis = frame[:, :, axis_i]
-        quat = _apply_angular_corrections(
-            ps, quat, a, b, axis, -aviol[:, axis_i],
-            jnp.zeros_like(aviol[:, axis_i]), scale, dt)
-        alpha = jnp.where(aspring_on[:, axis_i],
-                          1.0 / jnp.maximum(k_ang[:, axis_i], 1e-6), 1e12)
-        quat = _apply_angular_corrections(
-            ps, quat, a, b, axis, -aspring_viol[:, axis_i], alpha, scale, dt)
+    quat = _apply_angular_corrections(
+        ps, quat, jnp.tile(idx3_a, 2), jnp.tile(idx3_b, 2),
+        jnp.concatenate([rows3v(axes), rows3v(axes)]),
+        jnp.concatenate([-rows3(aviol), -rows3(aspring_viol)]),
+        jnp.concatenate([jnp.zeros(3 * ps.n_joints, jnp.float32),
+                         rows3(aalpha)]),
+        scale, dt)
     return pos, quat
 
 
@@ -620,11 +631,16 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
     pos = pos0 + jnp.where(dyn, vel * dt, 0.0)
     quat = jnp.where(dyn, _apply_small_rotation(quat0, omega * dt), quat0)
 
-    for _ in range(cfg.solver_iterations):
+    def iteration(_, carry):
+        pos, quat = carry
         pos, quat = _joint_pass(ps, pos, quat, dt)
         pos, quat = _contact_pass(ps, pos, quat, cfg.has_floor, dt)
         pos = jnp.where(dyn, pos, target_pos)
         quat = jnp.where(dyn, quat, target_quat)
+        return pos, quat
+
+    pos, quat = jax.lax.fori_loop(0, cfg.solver_iterations, iteration,
+                                  (pos, quat))
 
     vel_new = (pos - pos0) / dt
     dq = m3.quat_mul(quat, m3.quat_conj(quat0))
@@ -644,8 +660,11 @@ def physics_react(static: ModelStatic, ps: PhysicsStatic, state: PhysicsState,
     target_pos, target_quat = body_targets(ps, pose)
     sub_dt = 1.0 / cfg.substep_hz
     n_sub = max(1, round(cfg.dt * cfg.substep_hz))
-    for _ in range(n_sub):
-        state = physics_substep(ps, state, target_pos, target_quat, cfg, sub_dt)
+    state = jax.lax.fori_loop(
+        0, n_sub,
+        lambda _, s: physics_substep(ps, s, target_pos, target_quat, cfg,
+                                     sub_dt),
+        state)
 
     # Synchronize: skin[bone] = W_body @ rest_frame^-1 for dynamic non-ghost
     wb = jnp.asarray(ps.writeback)

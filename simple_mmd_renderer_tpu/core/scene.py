@@ -1,0 +1,106 @@
+"""Scene: model + motion + physics + renderer, stepped as one jitted program.
+
+The per-frame orchestration mirrors `frame()` in the reference app
+(`main.cpp:1755-1825`):
+
+    time += dt; frame = time * 30
+    ResetPosing -> SeekFrame -> PrePhysicsPosing -> React(1/30)
+    -> PostPhysicsPosing -> Deform -> render
+
+Everything per-frame is one pure function of (SimState, static data), so a
+scene jits once and vmaps over instances for crowds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import AppConfig
+from ..render.pipeline import render_frame
+from . import anim as anim_mod
+from . import physics as phys_mod
+from . import pose as pose_mod
+from .anim import MotionArrays
+from .model import ModelStatic
+from .physics import PhysicsState, PhysicsStatic
+
+
+@struct.dataclass
+class SimState:
+    time: jnp.ndarray            # f32 scalar, seconds
+    physics: PhysicsState
+
+
+@dataclass
+class Scene:
+    static: ModelStatic
+    phys_static: PhysicsStatic
+    motion: MotionArrays | None = None
+    config: AppConfig = field(default_factory=AppConfig)
+    part_textures: list | None = None
+    cubemap: jnp.ndarray | None = None
+
+    def init_state(self) -> SimState:
+        pose = self._neutral_pose()
+        return SimState(time=jnp.float32(0.0),
+                        physics=phys_mod.physics_reset(self.phys_static, pose))
+
+    def _neutral_pose(self):
+        b = self.static.n_bones
+        rot = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
+        trans = jnp.zeros((b, 3), jnp.float32)
+        rates = jnp.zeros((self.static.n_morphs,), jnp.float32)
+        return pose_mod.pre_physics_posing(self.static, rot, trans, rates)
+
+    def step_pose(self, state: SimState):
+        """One animation+physics frame -> (state', pose, positions, normals).
+
+        positions/normals are the deformed vertices in MMD units."""
+        static = self.static
+        cfg = self.config
+        time = state.time + jnp.float32(1.0 / cfg.fps)
+        frame = jnp.floor(time * cfg.fps)
+
+        if self.motion is not None:
+            anim_rot, anim_trans, rates = anim_mod.sample_motion(
+                self.motion, frame)
+        else:
+            b = static.n_bones
+            anim_rot = jnp.broadcast_to(
+                jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
+            anim_trans = jnp.zeros((b, 3), jnp.float32)
+            rates = jnp.zeros((static.n_morphs,), jnp.float32)
+
+        pose = pose_mod.pre_physics_posing(static, anim_rot, anim_trans, rates)
+        physics = state.physics
+        if self.motion is not None and cfg.physics.enabled \
+                and self.phys_static.n_bodies:
+            physics, pose = phys_mod.physics_react(
+                static, self.phys_static, physics, pose, cfg.physics)
+        pose = pose_mod.post_physics_posing(static, pose, anim_rot,
+                                            anim_trans, rates)
+        positions, normals = pose_mod.deform(static, pose)
+        return SimState(time=time, physics=physics), pose, positions, normals
+
+    def step_and_render(self, state: SimState, width=None, height=None):
+        state, pose, positions, normals = self.step_pose(state)
+        image = render_frame(self.static, positions, normals,
+                             self.config.render,
+                             part_textures=self.part_textures,
+                             cubemap=self.cubemap,
+                             width=width, height=height)
+        return state, image
+
+    def jit_step(self, render: bool = True, width=None, height=None,
+                 donate: bool = True):
+        """Compile the per-frame function once."""
+        if render:
+            fn = partial(self.step_and_render, width=width, height=height)
+        else:
+            fn = self.step_pose
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())

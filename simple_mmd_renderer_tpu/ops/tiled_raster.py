@@ -1,0 +1,272 @@
+"""Tiled/binned triangle rasterizer — the hot-path raster for TPU.
+
+Same visibility-buffer semantics as `render.raster.rasterize` (LESS_EQUAL
+z-test, y-down screen, guard-band near clip) but organized for the hardware:
+
+1. XLA binning: each triangle's screen bbox is expanded into (tile, entry)
+   pairs (capped at E_MAX tiles/tri), sorted by tile with a stable sort (which
+   preserves draw order for z-ties), and scattered into a dense
+   [n_tiles, K_MAX] bin layout.
+2. Pallas kernel: one grid step per 32x128-pixel tile; the tile's K entries
+   are VMEM-resident, a dynamic-trip fori_loop evaluates edge functions over
+   the whole tile per entry and updates depth/tri/barycentric accumulators in
+   registers/VMEM. Only the final tile buffers are written to HBM.
+3. Triangles bigger than E_MAX tiles (close-ups, the rare giant polygon) fall
+   back to the exact scan rasterizer and merge by depth.
+
+On non-TPU backends the kernel runs in interpreter mode (tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..render import raster
+
+TILE_H = 32
+TILE_W = 128
+SETUP_WIDTH = 16
+
+
+def _setup_rows(s, tri_ids):
+    """Pack per-triangle setup into [T, 16] f32 rows."""
+    xy = s["xy"]
+    z = s["z"]
+    inv_area = jnp.where(jnp.abs(s["area2"]) > 1e-12, 1.0 / s["area2"], 0.0)
+    cols = [
+        xy[:, 0, 0], xy[:, 0, 1], xy[:, 1, 0], xy[:, 1, 1],
+        xy[:, 2, 0], xy[:, 2, 1],
+        z[:, 0], z[:, 1], z[:, 2],
+        inv_area,
+        s["valid"].astype(jnp.float32),
+        tri_ids.astype(jnp.float32),
+        jnp.zeros_like(inv_area), jnp.zeros_like(inv_area),
+        jnp.zeros_like(inv_area), jnp.zeros_like(inv_area),
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def _bin(s, width, height, e_max, k_max):
+    """-> (binned [n_tiles, K, 16], counts [n_tiles], big_mask [T])."""
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    n_tiles = tiles_x * tiles_y
+
+    xy = s["xy"]
+    valid = s["valid"]
+    xmin = jnp.clip(jnp.min(xy[:, :, 0], 1), 0.0, width - 1.0)
+    xmax = jnp.clip(jnp.max(xy[:, :, 0], 1), 0.0, width - 1.0)
+    ymin = jnp.clip(jnp.min(xy[:, :, 1], 1), 0.0, height - 1.0)
+    ymax = jnp.clip(jnp.max(xy[:, :, 1], 1), 0.0, height - 1.0)
+    # cull fully off-screen triangles
+    on = ((jnp.max(xy[:, :, 0], 1) >= 0) & (jnp.min(xy[:, :, 0], 1) < width) &
+          (jnp.max(xy[:, :, 1], 1) >= 0) & (jnp.min(xy[:, :, 1], 1) < height))
+    valid = valid & on
+
+    tx0 = (xmin // TILE_W).astype(jnp.int32)
+    tx1 = (xmax // TILE_W).astype(jnp.int32)
+    ty0 = (ymin // TILE_H).astype(jnp.int32)
+    ty1 = (ymax // TILE_H).astype(jnp.int32)
+    bw = tx1 - tx0 + 1
+    bh = ty1 - ty0 + 1
+    n_cover = bw * bh
+    big = valid & (n_cover > e_max)
+    small = valid & ~big
+
+    e = jnp.arange(e_max, dtype=jnp.int32)[None, :]          # [1,E]
+    dx = e % bw[:, None]
+    dy = e // bw[:, None]
+    tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)  # [T,E]
+    mask = small[:, None] & (e < n_cover[:, None])
+    tile = jnp.where(mask, tile, n_tiles)                     # invalid -> pad
+
+    flat_tile = tile.reshape(-1)
+    t = tile.shape[0]
+    flat_tri = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, e_max)).reshape(-1)
+
+    order = jnp.argsort(flat_tile, stable=True)
+    sorted_tile = flat_tile[order]
+    sorted_tri = flat_tri[order]
+    start = jnp.searchsorted(sorted_tile,
+                             jnp.arange(n_tiles + 1, dtype=jnp.int32),
+                             side="left").astype(jnp.int32)
+    slot = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32) - start[
+        jnp.minimum(sorted_tile, n_tiles)]
+    keep = (sorted_tile < n_tiles) & (slot < k_max)
+    dst_tile = jnp.where(keep, sorted_tile, n_tiles)
+    dst_slot = jnp.where(keep, slot, 0)
+
+    rows = _setup_rows(s, jnp.arange(t, dtype=jnp.int32))     # [T,16]
+    binned = jnp.zeros((n_tiles + 1, k_max, SETUP_WIDTH), jnp.float32)
+    binned = binned.at[dst_tile, dst_slot].set(rows[sorted_tri])
+    counts = jnp.minimum(start[1:] - start[:-1], k_max).astype(jnp.int32)
+    counts = counts[:n_tiles]
+    return binned[:n_tiles], counts, big
+
+
+def _raster_kernel(counts_ref, setup_ref, depth_ref, tri_ref, b1_ref, b2_ref,
+                   *, tiles_x):
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+    y0 = (ty * TILE_H).astype(jnp.float32)
+    x0 = (tx * TILE_W).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0) + (y0 + 0.5)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1) + (x0 + 0.5)
+
+    def body(k, carry):
+        depth, tri, b1v, b2v = carry
+        srow = setup_ref[0, k, :]
+        ax, ay = srow[0], srow[1]
+        bx, by = srow[2], srow[3]
+        cx, cy = srow[4], srow[5]
+        z0, z1, z2 = srow[6], srow[7], srow[8]
+        inv_area = srow[9]
+        valid = srow[10] > 0.0
+        tid = srow[11].astype(jnp.int32)
+
+        def edge(px, py, qx, qy):
+            return (qx - px) * (ys - py) - (qy - py) * (xs - px)
+
+        e12 = edge(bx, by, cx, cy)
+        e20 = edge(cx, cy, ax, ay)
+        e01 = edge(ax, ay, bx, by)
+        w0 = e12 * inv_area
+        w1 = e20 * inv_area
+        w2 = e01 * inv_area
+        cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+        zp = w0 * z0 + w1 * z1 + w2 * z2
+        passed = cover & (zp <= depth) & (zp >= 0.0) & (zp <= 1.0)
+        depth = jnp.where(passed, zp, depth)
+        tri = jnp.where(passed, tid, tri)
+        b1v = jnp.where(passed, w1, b1v)
+        b2v = jnp.where(passed, w2, b2v)
+        return depth, tri, b1v, b2v
+
+    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32))
+    depth, tri, b1v, b2v = jax.lax.fori_loop(0, counts_ref[i], body, init)
+    depth_ref[...] = depth
+    tri_ref[...] = tri
+    b1_ref[...] = b1v
+    b2_ref[...] = b2v
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
+                    e_max=9, k_max=256) -> raster.VisBuffer:
+    """Binned-tile rasterization; semantics match raster.rasterize."""
+    pad_w = -(-width // TILE_W) * TILE_W
+    pad_h = -(-height // TILE_H) * TILE_H
+    tiles_x = pad_w // TILE_W
+    tiles_y = pad_h // TILE_H
+    n_tiles = tiles_x * tiles_y
+
+    s = raster.setup(clip, tris, width, height, cull)
+    binned, counts, big = _bin(s, width, height, e_max, k_max)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, k_max, SETUP_WIDTH), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, c: (i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, c: (i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, c: (i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, c: (i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    depth, tri, b1, b2 = pl.pallas_call(
+        partial(_raster_kernel, tiles_x=tiles_x),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(counts, binned)
+
+    vis = raster.VisBuffer(
+        depth=depth[:height, :width],
+        tri=tri[:height, :width],
+        bary=jnp.stack([b1[:height, :width], b2[:height, :width]], -1))
+
+    # big-triangle fallback: exact scan raster over the (rare) oversized tris,
+    # merged by depth. Implemented as a masked full scan — XLA skips quickly
+    # when `big` is all-false only at runtime cost of the scan; callers with
+    # known-small meshes can set e_max high enough to avoid it entirely.
+    any_big = jnp.any(big)
+
+    def merge_big(vis):
+        s_big = dict(s)
+        s_big["valid"] = s["valid"] & big
+        vis_big = _scan_subset(clip, tris, width, height, s_big)
+        better = vis_big.depth <= vis.depth
+        return raster.VisBuffer(
+            depth=jnp.where(better, vis_big.depth, vis.depth),
+            tri=jnp.where(better & (vis_big.tri >= 0), vis_big.tri, vis.tri),
+            bary=jnp.where((better & (vis_big.tri >= 0))[..., None],
+                           vis_big.bary, vis.bary))
+
+    vis = jax.lax.cond(any_big, merge_big, lambda v: v, vis)
+    return vis
+
+
+def _scan_subset(clip, tris, width, height, s):
+    """raster.rasterize's scan body over a precomputed (masked) setup."""
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+
+    def body(carry, tri_in):
+        depth, tri_id, bary = carry
+        xy, z, area2, valid, tid = tri_in
+        inv_area = jnp.where(jnp.abs(area2) > 1e-12, 1.0 / area2, 0.0)
+
+        def edge(a, b):
+            return (b[0] - a[0]) * (ys - a[1]) - (b[1] - a[1]) * (xs - a[0])
+
+        b0 = edge(xy[1], xy[2]) * inv_area
+        b1 = edge(xy[2], xy[0]) * inv_area
+        b2 = edge(xy[0], xy[1]) * inv_area
+        cover = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
+        zp = b0 * z[0] + b1 * z[1] + b2 * z[2]
+        passed = cover & (zp <= depth) & (zp >= 0.0) & (zp <= 1.0)
+        depth = jnp.where(passed, zp, depth)
+        tri_id = jnp.where(passed, tid, tri_id)
+        bary = jnp.where(passed[..., None], jnp.stack([b1, b2], -1), bary)
+        return (depth, tri_id, bary), None
+
+    t = tris.shape[0]
+    init = (jnp.ones((height, width), jnp.float32),
+            jnp.full((height, width), -1, jnp.int32),
+            jnp.zeros((height, width, 2), jnp.float32))
+    (depth, tri_id, bary), _ = jax.lax.scan(
+        body, init,
+        (s["xy"], s["z"], s["area2"], s["valid"],
+         jnp.arange(t, dtype=jnp.int32)))
+    return raster.VisBuffer(depth=depth, tri=tri_id, bary=bary)

@@ -17,6 +17,7 @@ triangle winding flipped, exactly like the reference's vertex upload
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
@@ -85,11 +86,21 @@ def ground_pass(cfg: RenderConfig, view, proj, width, height):
     return mask, hit, jnp.where(mask, depth, 1.0)
 
 
-def shadow_pass(verts_m, tris_flipped, light_mvp, size):
+def _pick_raster(cfg, n_tris):
+    if cfg.raster_mode == "tiled" or (
+            cfg.raster_mode == "auto" and n_tris > 1000
+            and jax.default_backend() == "tpu"):
+        from ..ops.tiled_raster import rasterize_tiled
+        return rasterize_tiled
+    return raster.rasterize
+
+
+def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
     """Depth-only character raster from the light (front-cull,
     main.cpp:942)."""
+    raster_fn = raster_fn or raster.rasterize
     clip = raster.transform_clip(verts_m, light_mvp)
-    vis = raster.rasterize(clip, tris_flipped, size, size, raster.CULL_FRONT)
+    vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
     return vis.depth
 
 
@@ -125,11 +136,12 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 
     verts_m = positions_mmd * cfg.mmd_to_meter
     tris = jnp.asarray(static.triangles)[:, ::-1]  # winding flip at upload
+    raster_fn = _pick_raster(cfg, tris.shape[0])
 
     # --- shadow pass
     if cfg.shadows_enabled:
         shadow_map = shadow_pass(verts_m, tris, mats["light_mvp"],
-                                 cfg.shadow_map_size)
+                                 cfg.shadow_map_size, raster_fn)
     else:
         shadow_map = jnp.ones((1, 1), jnp.float32)
 
@@ -157,7 +169,7 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 
     # --- character
     clip = raster.transform_clip(verts_m, mats["mvp"])
-    vis = raster.rasterize(clip, tris, width, height, raster.CULL_BACK)
+    vis = raster_fn(clip, tris, width, height, raster.CULL_BACK)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = raster.interpolate(vis, clip, tris, verts_m)  # model==identity
