@@ -1,0 +1,66 @@
+"""Multi-instance (crowd) execution and device-mesh sharding.
+
+The reference is a single-model desktop app; the TPU-native scaling dimension
+(SURVEY.md §2.6) is the *instance batch*: one jitted program steps and renders
+many characters. Intra-chip, vmap batches every stage (skinning, IK, physics,
+raster); across chips, the instance axis is sharded over a 1-D `jax.sharding`
+mesh so XLA keeps all compute local and inserts no collectives on the hot
+path (embarrassingly parallel over ICI; DCN only for host I/O).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.scene import Scene, SimState
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def crowd_init(scene: Scene, n: int, phase_frames: float = 7.0) -> SimState:
+    """n instance states with staggered animation clocks (independent-looking
+    motion from one motion track)."""
+    base = scene.init_state()
+
+    def tile(x):
+        return jnp.broadcast_to(x, (n,) + x.shape).copy()
+
+    state = jax.tree.map(tile, base)
+    times = jnp.arange(n, dtype=jnp.float32) * (phase_frames / scene.config.fps)
+    return state.replace(time=times)
+
+
+def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None):
+    """vmapped per-frame function over the instance axis."""
+    if render:
+        fn = partial(scene.step_and_render, width=width, height=height)
+    else:
+        fn = scene.step_pose
+    return jax.vmap(fn)
+
+
+def shard_crowd(state: SimState, mesh: Mesh, axis: str = "data") -> SimState:
+    """Place a crowd state with the instance axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, state)
+
+
+def crowd_jit(scene: Scene, mesh: Mesh, render: bool = True, width=None,
+              height=None, axis: str = "data"):
+    """jit the crowd step with the instance axis of every output pinned to the
+    mesh, so each per-instance stage stays device-local."""
+    fn = crowd_step_fn(scene, render=render, width=width, height=height)
+    shard = NamedSharding(mesh, P(axis))
+    return jax.jit(fn, out_shardings=shard)
