@@ -226,7 +226,9 @@ def parse_pmx(data: bytes) -> PmxModel:
     m.description = r.read_text(utf8)
     m.description_en = r.read_text(utf8)
 
-    # --- vertices (variable-size records: python loop, vectorize later in C++)
+    # --- vertices: variable-size records (skinning type selects layout).
+    # Hot path is the native C++ parser (native/pmx_fast.cpp); the python
+    # loop below is the fallback and the semantic reference.
     n_vert = r.read("i")
     positions = np.empty((n_vert, 3), np.float32)
     normals = np.empty((n_vert, 3), np.float32)
@@ -240,6 +242,54 @@ def parse_pmx(data: bytes) -> PmxModel:
     sdef_r1 = np.zeros((n_vert, 3), np.float32)
     edge_scale = np.empty(n_vert, np.float32)
 
+    native = None
+    try:
+        from ..native import get_lib
+        native = get_lib()
+    except Exception:
+        native = None
+
+    if native is not None and n_vert > 0:
+        import ctypes
+        end = ctypes.c_size_t(0)
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        rc = native.pmx_parse_vertices(
+            data, len(data), r.pos, n_vert, extra_uv, sz_bone,
+            ptr(positions), ptr(normals), ptr(uvs), ptr(extra_uvs),
+            ptr(skin_type), ptr(skin_bones), ptr(skin_weights),
+            ptr(sdef_c), ptr(sdef_r0), ptr(sdef_r1), ptr(edge_scale),
+            ctypes.byref(end))
+        if rc != 0:
+            raise ValueError(f"native PMX vertex parse failed (rc={rc})")
+        r.pos = end.value
+    else:
+        _parse_vertices_python(
+            r, n_vert, extra_uv, sz_bone, positions, normals, uvs, extra_uvs,
+            skin_type, skin_bones, skin_weights, sdef_c, sdef_r0, sdef_r1,
+            edge_scale)
+
+    m.positions, m.normals, m.uvs = positions, normals, uvs
+    m.extra_uvs = extra_uvs
+    m.skin_type, m.skin_bones, m.skin_weights = skin_type, skin_bones, skin_weights
+    m.sdef_c, m.sdef_r0, m.sdef_r1 = sdef_c, sdef_r0, sdef_r1
+    m.edge_scale = edge_scale
+    _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
+                  sz_rigid)
+    return m
+
+
+def _norm_bone_ref(idx: int, size: int) -> int:
+    """'none' encodings (255/65535/negative) -> -1."""
+    if size == 1 and idx == 0xFF:
+        return -1
+    if size == 2 and idx == 0xFFFF:
+        return -1
+    return idx
+
+
+def _parse_vertices_python(r, n_vert, extra_uv, sz_bone, positions, normals,
+                           uvs, extra_uvs, skin_type, skin_bones,
+                           skin_weights, sdef_c, sdef_r0, sdef_r1, edge_scale):
     for i in range(n_vert):
         basic = r.read("8f")
         positions[i] = basic[0:3]
@@ -249,22 +299,23 @@ def parse_pmx(data: bytes) -> PmxModel:
             extra_uvs[i, e] = r.read("4f")
         st = r.read("b")
         skin_type[i] = st
+        rb = lambda: _norm_bone_ref(r.read_index(sz_bone), sz_bone)
         if st == BDEF1:
-            skin_bones[i, 0] = r.read_index(sz_bone)
+            skin_bones[i, 0] = rb()
             skin_weights[i, 0] = 1.0
         elif st == BDEF2:
-            skin_bones[i, 0] = r.read_index(sz_bone)
-            skin_bones[i, 1] = r.read_index(sz_bone)
+            skin_bones[i, 0] = rb()
+            skin_bones[i, 1] = rb()
             w = r.read("f")
             skin_weights[i, 0] = w
             skin_weights[i, 1] = 1.0 - w
         elif st == BDEF4:
             for j in range(4):
-                skin_bones[i, j] = r.read_index(sz_bone)
+                skin_bones[i, j] = rb()
             skin_weights[i] = r.read("4f")
         elif st == SDEF:
-            skin_bones[i, 0] = r.read_index(sz_bone)
-            skin_bones[i, 1] = r.read_index(sz_bone)
+            skin_bones[i, 0] = rb()
+            skin_bones[i, 1] = rb()
             w = r.read("f")
             skin_weights[i, 0] = w
             skin_weights[i, 1] = 1.0 - w
@@ -275,12 +326,9 @@ def parse_pmx(data: bytes) -> PmxModel:
             raise ValueError(f"invalid skinning type {st} at vertex {i}")
         edge_scale[i] = r.read("f")
 
-    m.positions, m.normals, m.uvs = positions, normals, uvs
-    m.extra_uvs = extra_uvs
-    m.skin_type, m.skin_bones, m.skin_weights = skin_type, skin_bones, skin_weights
-    m.sdef_c, m.sdef_r0, m.sdef_r1 = sdef_c, sdef_r0, sdef_r1
-    m.edge_scale = edge_scale
 
+def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
+                  sz_rigid):
     # --- triangles (fixed-size: bulk numpy read)
     n_index = r.read("i")
     idx_dtype = {1: np.uint8, 2: np.uint16, 4: np.int32}[sz_vert]

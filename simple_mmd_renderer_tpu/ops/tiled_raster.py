@@ -117,8 +117,10 @@ def _raster_kernel(counts_ref, setup_ref, depth_ref, tri_ref, b1_ref, b2_ref,
     tx = i % tiles_x
     y0 = (ty * TILE_H).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0) + (y0 + 0.5)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1) + (x0 + 0.5)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32) + (y0 + 0.5)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32) + (x0 + 0.5)
 
     def body(k, carry):
         depth, tri, b1v, b2v = carry

@@ -118,3 +118,25 @@ def test_vmd_roundtrip():
     assert mo.camera is not None
     np.testing.assert_allclose(mo.camera.positions[0], [0, 10, -20])
     assert mo.length == 30
+
+
+def test_native_loader_matches_python():
+    import simple_mmd_renderer_tpu.native as N
+    from fixtures import two_bone_arm
+    if N.get_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    m = two_bone_arm()
+    data = write_pmx(m)
+    a = P.parse_pmx(data)
+    lib, tried = N._lib, N._tried
+    N._lib, N._tried = None, True       # force python fallback
+    try:
+        b = P.parse_pmx(data)
+    finally:
+        N._lib, N._tried = lib, tried
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.skin_bones, b.skin_bones)
+    np.testing.assert_array_equal(a.skin_weights, b.skin_weights)
+    np.testing.assert_array_equal(a.skin_type, b.skin_type)
+    np.testing.assert_array_equal(a.sdef_c, b.sdef_c)
