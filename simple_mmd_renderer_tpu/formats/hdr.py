@@ -80,7 +80,8 @@ def write_hdr(path: str, image: np.ndarray) -> None:
     exp = np.ceil(np.log2(maxc)).astype(np.int32) + 1
     scale = np.ldexp(1.0, -exp + 8).astype(np.float32)
     rgbe = np.zeros((h, w, 4), np.uint8)
-    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5, 0, 255).astype(
+        np.uint8)
     rgbe[..., 3] = np.where(maxc < 1e-30, 0, exp + 128).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")

@@ -96,6 +96,8 @@ class VmdMotion:
 
 def _group_sorted(names_raw, recs):
     """Group structured records by raw name bytes; yields (str_name, rows sorted by frame)."""
+    if len(recs) == 0:
+        return
     order = np.argsort(names_raw, kind="stable")
     recs = recs[order]
     names_sorted = names_raw[order]

@@ -1,0 +1,89 @@
+import os
+import numpy as np
+import jax.numpy as jnp
+
+from simple_mmd_renderer_tpu.formats import vmd as V
+from simple_mmd_renderer_tpu.formats.writers import write_vmd
+from simple_mmd_renderer_tpu.formats.hdr import parse_hdr, write_hdr
+from simple_mmd_renderer_tpu.render import camera_anim as CA
+from simple_mmd_renderer_tpu.utils.checkpoint import save_state, load_state
+from simple_mmd_renderer_tpu.utils.profiling import FrameStats, pass_scope
+
+
+def test_camera_track_sampling():
+    data = write_vmd("cam", [], [], camera_keys=[
+        {"frame": 0, "position": (0, 10, 0), "focal_length": -20.0,
+         "fov": 30.0},
+        {"frame": 30, "position": (0, 14, 0), "focal_length": -40.0,
+         "fov": 50.0},
+    ])
+    mo = V.parse_vmd(data)
+    cam = CA.bind_camera(mo.camera)
+    out0 = CA.sample_camera(cam, 0)
+    np.testing.assert_allclose(out0["target"], [0, 10, 0], atol=1e-5)
+    np.testing.assert_allclose(out0["fov_deg"], 30.0, atol=1e-5)
+    out_mid = CA.sample_camera(cam, 15)
+    np.testing.assert_allclose(out_mid["target"], [0, 12, 0], atol=1e-4)
+    np.testing.assert_allclose(out_mid["fov_deg"], 40.0, atol=1e-3)
+    # zero rotation: eye is `distance` behind the target along +z
+    np.testing.assert_allclose(
+        np.asarray(out_mid["eye"]), [0, 12, -30.0], atol=1e-3)
+    out_end = CA.sample_camera(cam, 100)
+    np.testing.assert_allclose(out_end["fov_deg"], 50.0, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from simple_mmd_renderer_tpu.core.physics import PhysicsState
+    from simple_mmd_renderer_tpu.core.scene import SimState
+    state = SimState(
+        time=jnp.float32(1.25),
+        physics=PhysicsState(
+            pos=jnp.arange(12, dtype=jnp.float32).reshape(4, 3),
+            quat=jnp.tile(jnp.asarray([0, 0, 0, 1.0]), (4, 1)),
+            vel=jnp.ones((4, 3)) * 2,
+            omega=jnp.zeros((4, 3))))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_state(path, state)
+    template = SimState(
+        time=jnp.float32(0.0),
+        physics=PhysicsState(pos=jnp.zeros((4, 3)),
+                             quat=jnp.zeros((4, 4)),
+                             vel=jnp.zeros((4, 3)),
+                             omega=jnp.zeros((4, 3))))
+    out = load_state(path, template)
+    np.testing.assert_allclose(float(out.time), 1.25)
+    np.testing.assert_array_equal(np.asarray(out.physics.pos),
+                                  np.arange(12, dtype=np.float32).reshape(4, 3))
+
+
+def test_hdr_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0.0, 8.0, (16, 32, 3))).astype(np.float32)
+    path = os.path.join(tmp_path, "t.hdr")
+    write_hdr(path, img)
+    out = parse_hdr(open(path, "rb").read())
+    assert out.shape == (16, 32, 3)
+    # RGBE quantization: 8-bit mantissa shared across channels per pixel
+    bound = img.max(-1, keepdims=True) / 128.0 + 1e-3
+    assert (np.abs(out - img) <= bound).all()
+
+
+def test_reference_hdr_asset_loads_if_present():
+    path = "/root/reference/assets/hdr/piazza_bologni_1k.hdr"
+    if not os.path.isfile(path):
+        import pytest
+        pytest.skip("reference asset not present")
+    img = parse_hdr(open(path, "rb").read())
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[0] >= 256 and np.isfinite(img).all() and img.max() > 1.0
+
+
+def test_frame_stats_and_scopes():
+    st = FrameStats()
+    st.tick()
+    st.tick()
+    st.count("draws", 5)
+    s = st.summary()
+    assert "fps" in s and s["draws"] == 5
+    with pass_scope("shadow-pass"):
+        _ = jnp.ones(3) * 2
