@@ -5,12 +5,20 @@ Baseline (BASELINE.md): the reference publishes no numbers; the north-star
 target is 60+ fps for a full PMX-scale model with physics at 1080p on one TPU
 chip. vs_baseline = fps / 60.
 
+Measurement: N frames run inside ONE device program (lax.scan over the frame
+step) with a per-frame framebuffer checksum carried out, so the number is pure
+device throughput — a single dispatch and a single tiny host transfer. (The
+axon tunnel adds large, variable per-dispatch latency that would otherwise
+dominate; per-call `block_until_ready` does not flush it.)
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import sys
 import time
+
+import numpy as np
 
 
 def main():
@@ -45,25 +53,23 @@ def main():
           f"{ps.n_bodies} bodies, {ps.n_joints} joints @ {width}x{height} "
           f"on {jax.default_backend()}", file=sys.stderr)
 
-    state = scene.init_state()
-    step = scene.jit_step(render=True)
+    roll = scene.jit_rollout(frames, render=True)
 
     t0 = time.time()
-    state, image = step(state)
-    image.block_until_ready()
-    print(f"# compile+first frame: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    # warmup
-    for _ in range(3):
-        state, image = step(state)
-    image.block_until_ready()
+    state, checksums = roll(scene.init_state())
+    _ = np.asarray(checksums)
+    print(f"# compile+first rollout: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    for _ in range(frames):
-        state, image = step(state)
-    image.block_until_ready()
+    state, checksums = roll(state)
+    cs = np.asarray(checksums)  # forces completion of the whole rollout
     dt = time.time() - t0
     fps = frames / dt
+
+    assert np.isfinite(cs).all() and (np.abs(np.diff(cs)) > 0).any(), \
+        "frames did not advance"
+    print(f"# sanity: t={float(np.asarray(state.time)):.3f}s, "
+          f"mean frame luma={cs.mean():.4f}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu

@@ -87,8 +87,8 @@ def main(argv=None):
     cubemap = None
     if args.hdr and os.path.isfile(args.hdr):
         print(f"loading HDR environment: {args.hdr}")
-        cubemap = ibl.equirect_to_cubemap(
-            jnp.asarray(load_hdr(args.hdr)), cfg.render.cubemap_size)
+        cubemap = np.asarray(ibl.equirect_to_cubemap(
+            jnp.asarray(load_hdr(args.hdr)), cfg.render.cubemap_size))
     else:
         cfg.render.show_skybox = cubemap is not None
 

@@ -99,7 +99,10 @@ def bind_motion(static: ModelStatic, motion: VmdMotion) -> MotionArrays:
     bk, bf, boff = pack(b_frames, len(b_bone))
     mk, mf, moff = pack(m_frames, len(m_morph))
 
-    j = jnp.asarray
+    # NOTE: leaves stay NumPy — they embed as literal constants in traced
+    # programs. Device-array constants trigger a pathological lowering path
+    # on the axon platform (minutes per program); NumPy constants are free.
+    j = np.asarray
     return MotionArrays(
         b_key=j(bk), b_frame=j(bf),
         b_trans=j(np.concatenate(b_trans) if b_trans else np.zeros((0, 3), np.float32)),
@@ -120,6 +123,9 @@ def _bracket(key, frame_arr, off, frame):
 
     Replicates the branch ladder in GetBonePose (motion_impl.inl:255-320).
     frame may be float (SeekTime) or int (SeekFrame)."""
+    key = jnp.asarray(key)
+    frame_arr = jnp.asarray(frame_arr)
+    off = jnp.asarray(off)
     t = jnp.arange(off.shape[0] - 1, dtype=jnp.int32)
     k0 = off[:-1]
     kn = off[1:]
@@ -152,22 +158,26 @@ def sample_bones(mo: MotionArrays, frame):
     frame = jnp.asarray(frame, jnp.float32)
     left, right, use_left = _bracket(mo.b_key, mo.b_frame, mo.b_off, frame)
 
-    fl = mo.b_frame[left].astype(jnp.float32)
-    fr = mo.b_frame[right].astype(jnp.float32)
+    b_frame = jnp.asarray(mo.b_frame)
+    b_trans = jnp.asarray(mo.b_trans)
+    b_quat = jnp.asarray(mo.b_quat)
+    b_lut = jnp.asarray(mo.b_lut)
+    fl = b_frame[left].astype(jnp.float32)
+    fr = b_frame[right].astype(jnp.float32)
     bary = (frame - fl) / jnp.maximum(fr - fl, 1.0)
 
-    lut = mo.b_lut[left]                        # [T,4,32]
+    lut = b_lut[left]                           # [T,4,32]
     lam = bezier.lut_eval(lut, bary[:, None])   # [T,4]
 
-    tl, tr = mo.b_trans[left], mo.b_trans[right]
+    tl, tr = b_trans[left], b_trans[right]
     trans = tl * (1.0 - lam[:, :3]) + tr * lam[:, :3]
-    rot = m3.quat_nlerp(mo.b_quat[left], mo.b_quat[right], lam[:, 3])
+    rot = m3.quat_nlerp(b_quat[left], b_quat[right], lam[:, 3])
 
     trans = jnp.where(use_left[:, None], tl, trans)
-    rot = jnp.where(use_left[:, None], mo.b_quat[left], rot)
+    rot = jnp.where(use_left[:, None], b_quat[left], rot)
 
-    anim_rot = anim_rot.at[mo.b_bone].set(rot)
-    anim_trans = anim_trans.at[mo.b_bone].set(trans)
+    anim_rot = anim_rot.at[jnp.asarray(mo.b_bone)].set(rot)
+    anim_trans = anim_trans.at[jnp.asarray(mo.b_bone)].set(trans)
     return anim_rot, anim_trans
 
 
@@ -178,13 +188,15 @@ def sample_morphs(mo: MotionArrays, frame):
         return rates
     frame = jnp.asarray(frame, jnp.float32)
     left, right, use_left = _bracket(mo.m_key, mo.m_frame, mo.m_off, frame)
-    fl = mo.m_frame[left].astype(jnp.float32)
-    fr = mo.m_frame[right].astype(jnp.float32)
+    m_frame = jnp.asarray(mo.m_frame)
+    m_weight = jnp.asarray(mo.m_weight)
+    fl = m_frame[left].astype(jnp.float32)
+    fr = m_frame[right].astype(jnp.float32)
     bary = (frame - fl) / jnp.maximum(fr - fl, 1.0)
-    lam = bezier.lut_eval(mo.m_lut[left], bary)
-    wl, wr = mo.m_weight[left], mo.m_weight[right]
+    lam = bezier.lut_eval(jnp.asarray(mo.m_lut)[left], bary)
+    wl, wr = m_weight[left], m_weight[right]
     w = jnp.where(use_left, wl, wl * (1.0 - lam) + wr * lam)
-    return rates.at[mo.m_morph].set(w)
+    return rates.at[jnp.asarray(mo.m_morph)].set(w)
 
 
 def sample_motion(mo: MotionArrays, frame):

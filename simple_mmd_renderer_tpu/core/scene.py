@@ -104,3 +104,28 @@ class Scene:
         else:
             fn = self.step_pose
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+    def rollout(self, state: SimState, n_frames: int, render: bool = True,
+                width=None, height=None):
+        """N frames inside one device program (lax.scan): the offline-render /
+        benchmark path — a single dispatch regardless of frame count.
+
+        Returns (state', per_frame_checksum [N]) when render else (state',
+        positions_checksum [N]). Checksums keep every frame's full compute
+        live without materializing N framebuffers."""
+
+        def body(state, _):
+            if render:
+                state, image = self.step_and_render(state, width=width,
+                                                    height=height)
+                return state, jnp.mean(image)
+            state, _, positions, _ = self.step_pose(state)
+            return state, jnp.mean(positions)
+
+        return jax.lax.scan(body, state, None, length=n_frames)
+
+    def jit_rollout(self, n_frames: int, render: bool = True, width=None,
+                    height=None):
+        return jax.jit(partial(self.rollout, n_frames=n_frames, render=render,
+                               width=width, height=height),
+                       donate_argnums=(0,))

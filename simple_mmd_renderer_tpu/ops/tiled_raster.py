@@ -9,9 +9,13 @@ z-test, y-down screen, guard-band near clip) but organized for the hardware:
    [n_tiles, K_MAX] bin layout.
 2. Pallas kernel: one grid step per 32x128-pixel tile; the tile's K entries
    are VMEM-resident, a dynamic-trip fori_loop evaluates edge functions over
-   the whole tile per entry and updates depth/tri/barycentric accumulators in
-   registers/VMEM. Only the final tile buffers are written to HBM.
-3. Triangles bigger than E_MAX tiles (close-ups, the rare giant polygon) fall
+   the whole tile per entry and updates depth/tri/attribute accumulators.
+   Only the final tile buffers are written to HBM.
+3. `rasterize_attrs_tiled` additionally interpolates per-vertex attributes
+   perspective-correctly INSIDE the kernel: attributes (pre-multiplied by
+   1/w) ride the binned setup rows, so shading needs no random vertex
+   gathers at all — TPU gathers are the pathology this design removes.
+4. Triangles bigger than E_MAX tiles (close-ups, the rare giant polygon) fall
    back to the exact scan rasterizer and merge by depth.
 
 On non-TPU backends the kernel runs in interpreter mode (tests).
@@ -30,11 +34,15 @@ from ..render import raster
 
 TILE_H = 32
 TILE_W = 128
-SETUP_WIDTH = 16
+BASE_WIDTH = 16
 
 
-def _setup_rows(s, tri_ids):
-    """Pack per-triangle setup into [T, 16] f32 rows."""
+def _setup_rows(s, tri_ids, attrs=None):
+    """Pack per-triangle setup into [T, W] f32 rows.
+
+    Base layout (16): xy0 xy1 xy2 (6), z0 z1 z2 (3), inv_area, valid, tri_id,
+    pad (4). With attrs [V,A]: per-vertex [inv_w, attrs*inv_w] blocks (3x(1+A))
+    appended, padded to a multiple of 8 lanes."""
     xy = s["xy"]
     z = s["z"]
     inv_area = jnp.where(jnp.abs(s["area2"]) > 1e-12, 1.0 / s["area2"], 0.0)
@@ -48,11 +56,22 @@ def _setup_rows(s, tri_ids):
         jnp.zeros_like(inv_area), jnp.zeros_like(inv_area),
         jnp.zeros_like(inv_area), jnp.zeros_like(inv_area),
     ]
+    if attrs is not None:
+        va = attrs[s["tris_v"]]                  # [T,3,A]
+        iw = s["inv_w"]                          # [T,3]
+        for k in range(3):
+            cols.append(iw[:, k])
+            for a in range(attrs.shape[1]):
+                cols.append(va[:, k, a] * iw[:, k])
+    width = len(cols)
+    pad = (-width) % 8
+    for _ in range(pad):
+        cols.append(jnp.zeros_like(inv_area))
     return jnp.stack(cols, axis=-1)
 
 
-def _bin(s, width, height, e_max, k_max):
-    """-> (binned [n_tiles, K, 16], counts [n_tiles], big_mask [T])."""
+def _bin(s, rows, width, height, e_max, k_max):
+    """-> (binned [n_tiles, K, W], counts [n_tiles], big_mask [T])."""
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     n_tiles = tiles_x * tiles_y
@@ -63,7 +82,6 @@ def _bin(s, width, height, e_max, k_max):
     xmax = jnp.clip(jnp.max(xy[:, :, 0], 1), 0.0, width - 1.0)
     ymin = jnp.clip(jnp.min(xy[:, :, 1], 1), 0.0, height - 1.0)
     ymax = jnp.clip(jnp.max(xy[:, :, 1], 1), 0.0, height - 1.0)
-    # cull fully off-screen triangles
     on = ((jnp.max(xy[:, :, 0], 1) >= 0) & (jnp.min(xy[:, :, 0], 1) < width) &
           (jnp.max(xy[:, :, 1], 1) >= 0) & (jnp.min(xy[:, :, 1], 1) < height))
     valid = valid & on
@@ -102,8 +120,7 @@ def _bin(s, width, height, e_max, k_max):
     dst_tile = jnp.where(keep, sorted_tile, n_tiles)
     dst_slot = jnp.where(keep, slot, 0)
 
-    rows = _setup_rows(s, jnp.arange(t, dtype=jnp.int32))     # [T,16]
-    binned = jnp.zeros((n_tiles + 1, k_max, SETUP_WIDTH), jnp.float32)
+    binned = jnp.zeros((n_tiles + 1, k_max, rows.shape[1]), jnp.float32)
     binned = binned.at[dst_tile, dst_slot].set(rows[sorted_tri])
     counts = jnp.minimum(start[1:] - start[:-1], k_max).astype(jnp.int32)
     counts = counts[:n_tiles]
@@ -111,7 +128,7 @@ def _bin(s, width, height, e_max, k_max):
 
 
 def _raster_kernel(counts_ref, setup_ref, depth_ref, tri_ref, b1_ref, b2_ref,
-                   *, tiles_x):
+                   attr_ref, *, tiles_x, n_attrs):
     i = pl.program_id(0)
     ty = i // tiles_x
     tx = i % tiles_x
@@ -123,7 +140,7 @@ def _raster_kernel(counts_ref, setup_ref, depth_ref, tri_ref, b1_ref, b2_ref,
         jnp.float32) + (x0 + 0.5)
 
     def body(k, carry):
-        depth, tri, b1v, b2v = carry
+        depth, tri, b1v, b2v, num, den = carry
         srow = setup_ref[0, k, :]
         ax, ay = srow[0], srow[1]
         bx, by = srow[2], srow[3]
@@ -149,94 +166,145 @@ def _raster_kernel(counts_ref, setup_ref, depth_ref, tri_ref, b1_ref, b2_ref,
         tri = jnp.where(passed, tid, tri)
         b1v = jnp.where(passed, w1, b1v)
         b2v = jnp.where(passed, w2, b2v)
-        return depth, tri, b1v, b2v
 
+        if n_attrs:
+            stride = 1 + n_attrs
+            iw0 = srow[BASE_WIDTH]
+            iw1 = srow[BASE_WIDTH + stride]
+            iw2 = srow[BASE_WIDTH + 2 * stride]
+            d = w0 * iw0 + w1 * iw1 + w2 * iw2
+            den = jnp.where(passed, d, den)
+            new_num = []
+            for a in range(n_attrs):
+                a0 = srow[BASE_WIDTH + 1 + a]
+                a1 = srow[BASE_WIDTH + stride + 1 + a]
+                a2 = srow[BASE_WIDTH + 2 * stride + 1 + a]
+                v = w0 * a0 + w1 * a1 + w2 * a2
+                new_num.append(jnp.where(passed, v, num[a]))
+            num = jnp.stack(new_num)
+        return depth, tri, b1v, b2v, num, den
+
+    na = max(n_attrs, 1)
     init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            jnp.zeros((TILE_H, TILE_W), jnp.float32))
-    depth, tri, b1v, b2v = jax.lax.fori_loop(0, counts_ref[i], body, init)
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.zeros((na, TILE_H, TILE_W), jnp.float32),
+            jnp.ones((TILE_H, TILE_W), jnp.float32))
+    depth, tri, b1v, b2v, num, den = jax.lax.fori_loop(
+        0, counts_ref[i], body, init)
     depth_ref[...] = depth
     tri_ref[...] = tri
     b1_ref[...] = b1v
     b2_ref[...] = b2v
+    if n_attrs:
+        safe = jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
+        attr_ref[...] = num / safe[None, :, :]
+    else:
+        attr_ref[...] = num
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
-                    e_max=9, k_max=256) -> raster.VisBuffer:
-    """Binned-tile rasterization; semantics match raster.rasterize."""
+def _run_kernel(binned, counts, width, height, n_attrs):
     pad_w = -(-width // TILE_W) * TILE_W
     pad_h = -(-height // TILE_H) * TILE_H
     tiles_x = pad_w // TILE_W
-    tiles_y = pad_h // TILE_H
-    n_tiles = tiles_x * tiles_y
+    n_tiles = binned.shape[0]
+    k_max = binned.shape[1]
+    na = max(n_attrs, 1)
 
-    s = raster.setup(clip, tris, width, height, cull)
-    binned, counts, big = _bin(s, width, height, e_max, k_max)
-
+    tile_spec = lambda: pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, c: (i // tiles_x, i % tiles_x),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, k_max, SETUP_WIDTH), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, k_max, binned.shape[2]), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W),
-                         lambda i, c: (i // tiles_x, i % tiles_x),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W),
-                         lambda i, c: (i // tiles_x, i % tiles_x),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W),
-                         lambda i, c: (i // tiles_x, i % tiles_x),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W),
-                         lambda i, c: (i // tiles_x, i % tiles_x),
+            tile_spec(), tile_spec(), tile_spec(), tile_spec(),
+            pl.BlockSpec((na, TILE_H, TILE_W),
+                         lambda i, c: (0, i // tiles_x, i % tiles_x),
                          memory_space=pltpu.VMEM),
         ],
     )
-    depth, tri, b1, b2 = pl.pallas_call(
-        partial(_raster_kernel, tiles_x=tiles_x),
+    depth, tri, b1, b2, attr = pl.pallas_call(
+        partial(_raster_kernel, tiles_x=tiles_x, n_attrs=n_attrs),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((na, pad_h, pad_w), jnp.float32),
         ],
         interpret=_interpret(),
     )(counts, binned)
-
     vis = raster.VisBuffer(
         depth=depth[:height, :width],
         tri=tri[:height, :width],
         bary=jnp.stack([b1[:height, :width], b2[:height, :width]], -1))
+    return vis, attr[:, :height, :width]
 
-    # big-triangle fallback: exact scan raster over the (rare) oversized tris,
-    # merged by depth. Implemented as a masked full scan — XLA skips quickly
-    # when `big` is all-false only at runtime cost of the scan; callers with
-    # known-small meshes can set e_max high enough to avoid it entirely.
+
+def _merge_big(vis, attr, clip, tris, width, height, s, big, attrs):
+    """Exact scan raster over oversized triangles, merged by depth."""
     any_big = jnp.any(big)
 
-    def merge_big(vis):
+    def merge(args):
+        vis, attr = args
         s_big = dict(s)
         s_big["valid"] = s["valid"] & big
         vis_big = _scan_subset(clip, tris, width, height, s_big)
-        better = vis_big.depth <= vis.depth
-        return raster.VisBuffer(
+        better = (vis_big.depth <= vis.depth) & (vis_big.tri >= 0)
+        merged = raster.VisBuffer(
             depth=jnp.where(better, vis_big.depth, vis.depth),
-            tri=jnp.where(better & (vis_big.tri >= 0), vis_big.tri, vis.tri),
-            bary=jnp.where((better & (vis_big.tri >= 0))[..., None],
-                           vis_big.bary, vis.bary))
+            tri=jnp.where(better, vis_big.tri, vis.tri),
+            bary=jnp.where(better[..., None], vis_big.bary, vis.bary))
+        if attrs is not None:
+            big_attr = raster.interpolate(vis_big, clip, tris, attrs)
+            big_attr = jnp.moveaxis(big_attr, -1, 0)
+            attr = jnp.where(better[None], big_attr, attr)
+        return merged, attr
 
-    vis = jax.lax.cond(any_big, merge_big, lambda v: v, vis)
+    return jax.lax.cond(any_big, merge, lambda a: a, (vis, attr))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
+                    e_max=9, k_max=256) -> raster.VisBuffer:
+    """Binned-tile rasterization; semantics match raster.rasterize."""
+    s = raster.setup(clip, tris, width, height, cull)
+    rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
+    binned, counts, big = _bin(s, rows, width, height, e_max, k_max)
+    vis, _ = _run_kernel(binned, counts, width, height, 0)
+    vis, _ = _merge_big(vis, jnp.zeros((1, height, width), jnp.float32),
+                        clip, tris, width, height, s, big, None)
     return vis
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def rasterize_attrs_tiled(clip, tris, attrs, width, height,
+                          cull=raster.CULL_BACK, e_max=9, k_max=256):
+    """Raster + in-kernel perspective-correct attribute interpolation.
+
+    attrs: [V, A] per-vertex attributes. Returns (VisBuffer,
+    attr_img [H, W, A]) with zeros on empty pixels."""
+    s = raster.setup(clip, tris, width, height, cull)
+    s["tris_v"] = tris
+    rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
+    binned, counts, big = _bin(s, rows, width, height, e_max, k_max)
+    vis, attr = _run_kernel(binned, counts, width, height, attrs.shape[1])
+    vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
+                           attrs)
+    attr = jnp.moveaxis(attr, 0, -1)
+    attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
+    return vis, attr
 
 
 def _scan_subset(clip, tris, width, height, s):

@@ -159,9 +159,15 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         light_clip_px = raster.transform_clip(gpos.reshape(-1, 3),
                                               mats["light_vp"]).reshape(
                                                   height, width, 4)
-        gcolor = shade.shade_ground(
-            jnp.ones(3, jnp.float32), light_clip_px, shadow_map,
-            jnp.asarray(cfg.shadows_enabled))
+        if cfg.shadows_enabled:
+            # 3x3 PCF evaluated in shadow space (one dense pass), then a
+            # single per-pixel lookup — see shade.ground_lit_map
+            lit_map = shade.ground_lit_map(shadow_map, mats["light_vp"])
+            lit = shade.ground_shadow_lookup(light_clip_px, lit_map,
+                                             jnp.asarray(True))
+        else:
+            lit = jnp.ones((height, width, 1), jnp.float32)
+        gcolor = jnp.ones(3, jnp.float32) * 0.7 * lit
         color = jnp.where(ground_mask[..., None], gcolor, color)
     else:
         ground_mask = jnp.zeros((height, width), bool)
@@ -169,18 +175,25 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 
     # --- character
     clip = raster.transform_clip(verts_m, mats["mvp"])
-    vis = raster_fn(clip, tris, width, height, raster.CULL_BACK)
+    attrs = jnp.concatenate(
+        [verts_m, jnp.asarray(normals), jnp.asarray(static.uvs)], -1)
+    if raster_fn is raster.rasterize:
+        vis = raster_fn(clip, tris, width, height, raster.CULL_BACK)
+        attr_px = raster.interpolate(vis, clip, tris, attrs)
+    else:
+        from ..ops.tiled_raster import rasterize_attrs_tiled
+        vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
+                                             height, raster.CULL_BACK)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
-    world_px = raster.interpolate(vis, clip, tris, verts_m)  # model==identity
+    world_px = attr_px[..., 0:3]
+    nrm_px = attr_px[..., 3:6]
+    uv_px = attr_px[..., 6:8]
     if model_mat is not None:
         mm = jnp.asarray(model_mat)
         world_px = world_px @ mm[:3, :3].T + mm[:3, 3]
         nmat = jnp.linalg.inv(mm[:3, :3]).T
-    else:
-        nmat = jnp.eye(3, dtype=jnp.float32)
-    nrm_px = raster.interpolate(vis, clip, tris, jnp.asarray(normals)) @ nmat.T
-    uv_px = raster.interpolate(vis, clip, tris, jnp.asarray(static.uvs))
+        nrm_px = nrm_px @ nmat.T
 
     if part_textures is None:
         albedo = jnp.ones((height, width, 3), jnp.float32)

@@ -97,3 +97,58 @@ def shade_ground(albedo, light_space_pos, shadow_map, shadows_enabled,
     shadow = pcf_shadow(light_space_pos, shadow_map,
                         shadows_enabled & receive_shadows)
     return albedo * 0.7 * shadow
+
+
+def ground_lit_map(shadow_map, light_vp, bias=0.001):
+    """3x3 PCF evaluated in SHADOW space for the y=0 ground plane.
+
+    For every shadow-map texel, unproject its (u,v) to the ground plane (the
+    light VP is affine for an ortho light), compute the ground's reference
+    depth there, and average the 3x3 comparison using array shifts — no
+    gathers. The screen pass then needs a single lookup into this lit map
+    instead of 9 random gathers per pixel (render/pipeline.py). Differs from
+    per-pixel PCF only by sub-texel quantization of the tap centers."""
+    s = shadow_map.shape[0]
+    m = light_vp  # affine: row 3 == (0,0,0,1)
+    cols = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    rows = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    x_ndc = cols * 2.0 - 1.0                    # [S]
+    y_ndc = 1.0 - 2.0 * rows                    # [S] (row 0 = top)
+
+    # solve [m00 m02; m10 m12] @ (px,pz) = (x - t0, y - t1) with py=0
+    a, b_ = m[0, 0], m[0, 2]
+    c, d = m[1, 0], m[1, 2]
+    det = a * d - b_ * c
+    inv = jnp.asarray([[d, -b_], [-c, a]], jnp.float32) / jnp.where(
+        jnp.abs(det) > 1e-12, det, 1e-12)
+    rx = x_ndc[None, :] - m[0, 3]               # [1,S] broadcast over rows
+    ry = y_ndc[:, None] - m[1, 3]               # [S,1]
+    px = inv[0, 0] * rx + inv[0, 1] * ry        # [S,S]
+    pz = inv[1, 0] * rx + inv[1, 1] * ry
+    zref = m[2, 0] * px + m[2, 2] * pz + m[2, 3]
+
+    pad = jnp.pad(shadow_map, 1, mode="edge")
+    total = jnp.zeros_like(shadow_map)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            total = total + jnp.where(
+                zref - bias < pad[dy:dy + s, dx:dx + s], 1.0, 0.0)
+    return jnp.clip(total / 9.0, 0.0, 1.0)
+
+
+def ground_shadow_lookup(light_space_pos, lit_map, enabled):
+    """Single-tap lookup into `ground_lit_map` with the reference's bounds
+    fallback (outside the frustum -> fully lit)."""
+    s = lit_map.shape[0]
+    w = light_space_pos[..., 3]
+    wsafe = jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+    u = (light_space_pos[..., 0] / wsafe) * 0.5 + 0.5
+    v = 1.0 - ((light_space_pos[..., 1] / wsafe) * 0.5 + 0.5)
+    zref = light_space_pos[..., 2] / wsafe
+    inside = ((u >= -0.001) & (u <= 1.001) & (v >= -0.001) & (v <= 1.001) &
+              (zref >= 0.0) & (zref <= 1.001))
+    px = jnp.clip((jnp.clip(u, 0.0, 1.0) * s).astype(jnp.int32), 0, s - 1)
+    py = jnp.clip((jnp.clip(v, 0.0, 1.0) * s).astype(jnp.int32), 0, s - 1)
+    lit = lit_map[py, px]
+    lit = jnp.where(inside, lit, 1.0)
+    return jnp.where(enabled, lit, 1.0)[..., None]

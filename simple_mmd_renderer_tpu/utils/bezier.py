@@ -86,9 +86,14 @@ def lut_eval(lut, x):
     xs = x * (RESOLUTION - 1)
     ix = jnp.clip(xs.astype(jnp.int32), 0, RESOLUTION - 1)
     r = xs - ix.astype(lut.dtype)
-    lo = jnp.take_along_axis(lut, ix[..., None], axis=-1)[..., 0]
-    hi_idx = jnp.minimum(ix + 1, RESOLUTION - 1)
-    hi = jnp.take_along_axis(lut, hi_idx[..., None], axis=-1)[..., 0]
-    val = (1.0 - r) * lo + r * hi
-    # ix == RESOLUTION-1 -> last presample exactly (reference's tail branch)
-    return jnp.where(ix >= RESOLUTION - 1, lut[..., -1], val)
+    # one-hot contraction instead of take_along_axis: identical arithmetic
+    # ((1-r)*lut[ix] + r*lut[ix+1]) but compiles to cheap VPU selects/sums on
+    # TPU (the gather form took minutes of XLA compile time). At ix==31 both
+    # weights land on the last sample, matching the reference's tail branch.
+    j = jnp.arange(RESOLUTION, dtype=jnp.int32)
+    shape = jnp.broadcast_shapes(lut.shape[:-1], ix.shape)
+    ixb = jnp.broadcast_to(ix, shape)[..., None]
+    rb = jnp.broadcast_to(r, shape)[..., None]
+    w = (jnp.where(j == ixb, 1.0 - rb, 0.0)
+         + jnp.where(j == jnp.minimum(ixb + 1, RESOLUTION - 1), rb, 0.0))
+    return jnp.sum(jnp.broadcast_to(lut, shape + (RESOLUTION,)) * w, -1)

@@ -187,3 +187,32 @@ def test_frame_with_skybox():
     # background = ACES(4.0) red, strongly red everywhere off-sphere
     corner = img[0, 0]
     assert corner[0] > 0.8 and corner[1] < 0.1
+
+
+def test_ground_lit_map_matches_pcf():
+    """Shadow-space PCF (fast path) vs per-pixel PCF (reference semantics)."""
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.render.pipeline import (build_matrices,
+                                                         ground_pass,
+                                                         shadow_pass)
+    static = _sphere_model()
+    cfg = RenderConfig(width=96, height=64, shadow_map_size=256,
+                       show_skybox=False)
+    mats = build_matrices(cfg)
+    verts = jnp.asarray(static.positions) * 0.1
+    tris = jnp.asarray(static.triangles)[:, ::-1]
+    shadow_map = shadow_pass(verts, tris, mats["light_mvp"], 256)
+    mask, gpos, _ = ground_pass(cfg, mats["view"], mats["proj"], 96, 64)
+    light_px = raster.transform_clip(gpos.reshape(-1, 3),
+                                     mats["light_vp"]).reshape(64, 96, 4)
+    exact = shade.pcf_shadow(light_px, shadow_map, jnp.asarray(True))[..., 0]
+    lit_map = shade.ground_lit_map(shadow_map, mats["light_vp"])
+    fast = shade.ground_shadow_lookup(light_px, lit_map,
+                                      jnp.asarray(True))[..., 0]
+    m = np.asarray(mask)
+    diff = np.abs(np.asarray(exact) - np.asarray(fast))[m]
+    assert diff.mean() < 0.03, diff.mean()
+    assert (diff > 0.34).mean() < 0.02  # isolated texel-quantization pixels
+    # both see an actual shadow
+    assert (np.asarray(exact)[m] < 0.5).any()
+    assert (np.asarray(fast)[m] < 0.5).any()
