@@ -43,6 +43,11 @@ class RenderConfig:
     shadow_frustum_half: float = 5.0
     shadow_near: float = 0.1
     shadow_far: float = 100.0
+    # ground shadow factor is sampled at 1/N resolution and bilinearly
+    # upsampled (the 3x3 PCF is already a blur at that scale); 1 = exact
+    # per-pixel lookup. TPU random gathers cost ~12us/kpx, so this is the
+    # difference between 24ms and 1.5ms per 1080p frame.
+    shadow_lookup_downsample: int = 4
 
     # figure/resin material (main.cpp:235-239)
     rim_power: float = 2.0

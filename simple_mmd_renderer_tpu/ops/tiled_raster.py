@@ -58,20 +58,29 @@ def _setup_rows(s, tri_ids, attrs=None):
     ]
     if attrs is not None:
         va = attrs[s["tris_v"]]                  # [T,3,A]
+        assert attrs.shape[1] <= 37, "attr payload exceeds one 128-lane row"
         iw = s["inv_w"]                          # [T,3]
         for k in range(3):
             cols.append(iw[:, k])
             for a in range(attrs.shape[1]):
                 cols.append(va[:, k, a] * iw[:, k])
+    # rows are DMA'd from HBM as [k, W] slices; Mosaic requires the lane
+    # dimension to be 128-aligned
     width = len(cols)
-    pad = (-width) % 8
+    pad = (-width) % 128
     for _ in range(pad):
         cols.append(jnp.zeros_like(inv_area))
     return jnp.stack(cols, axis=-1)
 
 
 def _bin(s, rows, width, height, e_max, k_max):
-    """-> (binned [n_tiles, K, W], counts [n_tiles], big_mask [T])."""
+    """-> (sorted_rows [T*E + K pad, W], starts [n_tiles], counts [n_tiles],
+    big_mask [T]).
+
+    Entries are sorted by tile (stable, preserving draw order) and the ROWS
+    are gathered into that order, so each tile's entries are contiguous: the
+    kernel DMAs its [start, start+K) window straight from HBM — no dense-bin
+    scatter (which costs more than everything else in this pass combined)."""
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     n_tiles = tiles_x * tiles_y
@@ -96,9 +105,19 @@ def _bin(s, rows, width, height, e_max, k_max):
     big = valid & (n_cover > e_max)
     small = valid & ~big
 
+    # enumerate the bbox cells row-major without integer div/mod (TPU int
+    # division is emulated and slow at 200k+ elements): bw is tiny (1..e_max),
+    # select from precomputed (dx, dy) tables per bw
     e = jnp.arange(e_max, dtype=jnp.int32)[None, :]          # [1,E]
-    dx = e % bw[:, None]
-    dy = e // bw[:, None]
+    bwc = jnp.clip(bw, 1, e_max)[:, None]
+    dx = e
+    dy = jnp.zeros_like(e)
+    for width_c in range(1, e_max + 1):
+        dxc = jnp.asarray([k % width_c for k in range(e_max)], jnp.int32)
+        dyc = jnp.asarray([k // width_c for k in range(e_max)], jnp.int32)
+        sel = bwc == width_c
+        dx = jnp.where(sel, dxc[None, :], dx)
+        dy = jnp.where(sel, dyc[None, :], dy)
     tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)  # [T,E]
     mask = small[:, None] & (e < n_cover[:, None])
     tile = jnp.where(mask, tile, n_tiles)                     # invalid -> pad
@@ -114,21 +133,20 @@ def _bin(s, rows, width, height, e_max, k_max):
     start = jnp.searchsorted(sorted_tile,
                              jnp.arange(n_tiles + 1, dtype=jnp.int32),
                              side="left").astype(jnp.int32)
-    slot = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32) - start[
-        jnp.minimum(sorted_tile, n_tiles)]
-    keep = (sorted_tile < n_tiles) & (slot < k_max)
-    dst_tile = jnp.where(keep, sorted_tile, n_tiles)
-    dst_slot = jnp.where(keep, slot, 0)
-
-    binned = jnp.zeros((n_tiles + 1, k_max, rows.shape[1]), jnp.float32)
-    binned = binned.at[dst_tile, dst_slot].set(rows[sorted_tri])
     counts = jnp.minimum(start[1:] - start[:-1], k_max).astype(jnp.int32)
-    counts = counts[:n_tiles]
-    return binned[:n_tiles], counts, big
+
+    sorted_rows = rows[sorted_tri]
+    # pad so every [start, start+k_max) DMA window is in bounds; padded rows
+    # are invalid (valid flag 0) because entries past a tile's segment belong
+    # to other tiles but are skipped by the count-bounded loop anyway
+    pad = jnp.zeros((k_max, rows.shape[1]), jnp.float32)
+    sorted_rows = jnp.concatenate([sorted_rows, pad], axis=0)
+    return sorted_rows, start[:n_tiles], counts, big
 
 
-def _raster_kernel(counts_ref, setup_ref, depth_ref, tri_ref, b1_ref, b2_ref,
-                   attr_ref, *, tiles_x, n_attrs):
+def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
+                   b1_ref, b2_ref, attr_ref, scratch, sem, *, tiles_x,
+                   n_attrs, k_max):
     i = pl.program_id(0)
     ty = i // tiles_x
     tx = i % tiles_x
@@ -139,9 +157,15 @@ def _raster_kernel(counts_ref, setup_ref, depth_ref, tri_ref, b1_ref, b2_ref,
     xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
         jnp.float32) + (x0 + 0.5)
 
+    # this tile's entries are contiguous in HBM: one sequential DMA
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(starts_ref[i], k_max), :], scratch, sem)
+    dma.start()
+    dma.wait()
+
     def body(k, carry):
         depth, tri, b1v, b2v, num, den = carry
-        srow = setup_ref[0, k, :]
+        srow = scratch[k, :]
         ax, ay = srow[0], srow[1]
         bx, by = srow[2], srow[3]
         cx, cy = srow[4], srow[5]
@@ -208,33 +232,37 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _run_kernel(binned, counts, width, height, n_attrs):
+def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, k_max):
     pad_w = -(-width // TILE_W) * TILE_W
     pad_h = -(-height // TILE_H) * TILE_H
     tiles_x = pad_w // TILE_W
-    n_tiles = binned.shape[0]
-    k_max = binned.shape[1]
+    n_tiles = (pad_h // TILE_H) * tiles_x
     na = max(n_attrs, 1)
+    row_w = sorted_rows.shape[1]
 
     tile_spec = lambda: pl.BlockSpec(
-        (TILE_H, TILE_W), lambda i, c: (i // tiles_x, i % tiles_x),
+        (TILE_H, TILE_W), lambda i, s, c: (i // tiles_x, i % tiles_x),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, k_max, binned.shape[2]), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
         ],
         out_specs=[
             tile_spec(), tile_spec(), tile_spec(), tile_spec(),
             pl.BlockSpec((na, TILE_H, TILE_W),
-                         lambda i, c: (0, i // tiles_x, i % tiles_x),
+                         lambda i, s, c: (0, i // tiles_x, i % tiles_x),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_max, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     depth, tri, b1, b2, attr = pl.pallas_call(
-        partial(_raster_kernel, tiles_x=tiles_x, n_attrs=n_attrs),
+        partial(_raster_kernel, tiles_x=tiles_x, n_attrs=n_attrs,
+                k_max=k_max),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
@@ -244,7 +272,7 @@ def _run_kernel(binned, counts, width, height, n_attrs):
             jax.ShapeDtypeStruct((na, pad_h, pad_w), jnp.float32),
         ],
         interpret=_interpret(),
-    )(counts, binned)
+    )(starts, counts, sorted_rows)
     vis = raster.VisBuffer(
         depth=depth[:height, :width],
         tri=tri[:height, :width],
@@ -281,8 +309,10 @@ def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
     """Binned-tile rasterization; semantics match raster.rasterize."""
     s = raster.setup(clip, tris, width, height, cull)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
-    binned, counts, big = _bin(s, rows, width, height, e_max, k_max)
-    vis, _ = _run_kernel(binned, counts, width, height, 0)
+    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
+                                            k_max)
+    vis, _ = _run_kernel(sorted_rows, starts, counts, width, height, 0,
+                         k_max)
     vis, _ = _merge_big(vis, jnp.zeros((1, height, width), jnp.float32),
                         clip, tris, width, height, s, big, None)
     return vis
@@ -298,8 +328,10 @@ def rasterize_attrs_tiled(clip, tris, attrs, width, height,
     s = raster.setup(clip, tris, width, height, cull)
     s["tris_v"] = tris
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
-    binned, counts, big = _bin(s, rows, width, height, e_max, k_max)
-    vis, attr = _run_kernel(binned, counts, width, height, attrs.shape[1])
+    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
+                                            k_max)
+    vis, attr = _run_kernel(sorted_rows, starts, counts, width, height,
+                            attrs.shape[1], k_max)
     vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
                            attrs)
     attr = jnp.moveaxis(attr, 0, -1)

@@ -156,15 +156,28 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     if cfg.show_ground:
         ground_mask, gpos, ground_depth = ground_pass(
             cfg, mats["view"], mats["proj"], width, height)
-        light_clip_px = raster.transform_clip(gpos.reshape(-1, 3),
-                                              mats["light_vp"]).reshape(
-                                                  height, width, 4)
         if cfg.shadows_enabled:
             # 3x3 PCF evaluated in shadow space (one dense pass), then a
-            # single per-pixel lookup — see shade.ground_lit_map
+            # single lookup per (possibly downsampled) pixel — see
+            # shade.ground_lit_map / RenderConfig.shadow_lookup_downsample
             lit_map = shade.ground_lit_map(shadow_map, mats["light_vp"])
-            lit = shade.ground_shadow_lookup(light_clip_px, lit_map,
-                                             jnp.asarray(True))
+            ds = max(int(cfg.shadow_lookup_downsample), 1)
+            if ds > 1 and width % ds == 0 and height % ds == 0:
+                lw, lh = width // ds, height // ds
+                _, gpos_lo, _ = ground_pass(cfg, mats["view"], mats["proj"],
+                                            lw, lh)
+                lclip = raster.transform_clip(
+                    gpos_lo.reshape(-1, 3), mats["light_vp"]).reshape(
+                        lh, lw, 4)
+                lit_lo = shade.ground_shadow_lookup(lclip, lit_map,
+                                                    jnp.asarray(True))
+                lit = jax.image.resize(lit_lo, (height, width, 1), "linear")
+            else:
+                lclip = raster.transform_clip(
+                    gpos.reshape(-1, 3), mats["light_vp"]).reshape(
+                        height, width, 4)
+                lit = shade.ground_shadow_lookup(lclip, lit_map,
+                                                 jnp.asarray(True))
         else:
             lit = jnp.ones((height, width, 1), jnp.float32)
         gcolor = jnp.ones(3, jnp.float32) * 0.7 * lit

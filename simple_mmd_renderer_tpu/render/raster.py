@@ -60,12 +60,11 @@ def setup(clip, tris, width, height, cull=CULL_BACK):
     Returns dict of [T,...] arrays: screen xy per vertex, z per vertex, 1/w per
     vertex, valid mask (in front of camera, non-degenerate, not culled).
     Triangles crossing w<=0 are dropped (guard-band near clip)."""
-    xy_all, z_all, iw_all = screen_from_clip(clip, width, height)
-    v = tris  # [T,3]
-    xy = xy_all[v]        # [T,3,2]
-    z = z_all[v]          # [T,3]
-    iw = iw_all[v]        # [T,3]
-    w_ok = jnp.all(clip[v][..., 3] > _W_EPS, axis=-1)
+    # one gather of clip coords per triangle corner; the screen mapping is
+    # recomputed on the gathered [T,3,4] (TPU gathers dominate, math is free)
+    cv = clip[tris]                               # [T,3,4]
+    xy, z, iw = screen_from_clip(cv, width, height)
+    w_ok = jnp.all(cv[..., 3] > _W_EPS, axis=-1)
 
     d1 = xy[:, 1] - xy[:, 0]
     d2 = xy[:, 2] - xy[:, 0]
