@@ -64,10 +64,8 @@ def _setup_rows(s, tri_ids, attrs=None):
             cols.append(iw[:, k])
             for a in range(attrs.shape[1]):
                 cols.append(va[:, k, a] * iw[:, k])
-    # rows are DMA'd from HBM as [k, W] slices; Mosaic requires the lane
-    # dimension to be 128-aligned
     width = len(cols)
-    pad = (-width) % 128
+    pad = (-width) % 8
     for _ in range(pad):
         cols.append(jnp.zeros_like(inv_area))
     return jnp.stack(cols, axis=-1)
@@ -135,12 +133,15 @@ def _bin(s, rows, width, height, e_max, k_max):
                              side="left").astype(jnp.int32)
     counts = jnp.minimum(start[1:] - start[:-1], k_max).astype(jnp.int32)
 
+    # gather rows NARROW (random row gathers cost ~3x more at 128 lanes),
+    # then zero-pad the lane dim to 128 with a cheap sequential write: the
+    # kernel's HBM->VMEM DMA slice requires 128-aligned lanes. Rows are also
+    # padded by k_max so every [start, start+k_max) window is in bounds;
+    # entries past a tile's segment belong to other tiles but the
+    # count-bounded loop never reads them.
     sorted_rows = rows[sorted_tri]
-    # pad so every [start, start+k_max) DMA window is in bounds; padded rows
-    # are invalid (valid flag 0) because entries past a tile's segment belong
-    # to other tiles but are skipped by the count-bounded loop anyway
-    pad = jnp.zeros((k_max, rows.shape[1]), jnp.float32)
-    sorted_rows = jnp.concatenate([sorted_rows, pad], axis=0)
+    lane_pad = (-rows.shape[1]) % 128
+    sorted_rows = jnp.pad(sorted_rows, ((0, k_max), (0, lane_pad)))
     return sorted_rows, start[:n_tiles], counts, big
 
 
