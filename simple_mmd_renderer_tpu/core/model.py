@@ -47,10 +47,12 @@ class IKProgram:
 
 @dataclass
 class Segment:
-    """A run of non-IK FK bones (grouped in parallel levels) or one IK bone."""
+    """A run of non-IK FK bones (grouped in parallel levels) or a group of
+    mutually-independent, same-shaped IK chains solved batched (e.g. the two
+    legs) — see `_group_iks`."""
     kind: str                  # "fk" | "ik"
     levels: list[np.ndarray] = field(default_factory=list)  # for "fk"
-    ik: IKProgram | None = None                              # for "ik"
+    iks: list[IKProgram] = field(default_factory=list)      # for "ik"
 
 
 @dataclass
@@ -248,11 +250,62 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
     pre_order = [i for i in order_all if not post_physics[i]]
     post_order = [i for i in order_all if post_physics[i]]
 
+    def _ancestors(b: int) -> set[int]:
+        out = set()
+        seen = 0
+        while b >= 0 and seen < n_bones:
+            out.add(b)
+            b = int(parent[b])
+            seen += 1
+        return out
+
+    def _signature(ik: IKProgram):
+        return (len(ik.links), ik.loop, tuple(ik.fix_types.tolist()),
+                tuple(ik.orders), tuple(ik.limited.tolist()))
+
+    def _independent(a: IKProgram, b: IKProgram) -> bool:
+        """Solving a and b simultaneously == sequentially: neither reads or
+        writes state the other touches (incl. FK reads of ancestors)."""
+        mod_a = set(a.links.tolist()) | {a.target}
+        mod_b = set(b.links.tolist()) | {b.target}
+        reads_b = set().union(*(
+            _ancestors(x) for x in ([b.bone, b.target] + b.links.tolist())))
+        reads_a = set().union(*(
+            _ancestors(x) for x in ([a.bone, a.target] + a.links.tolist())))
+        return not (mod_a & reads_b) and not (mod_b & reads_a)
+
+    def _group_iks(run: list[IKProgram]) -> list[list[IKProgram]]:
+        """Greedy batching of an adjacent run of IK segments: an IK joins an
+        earlier group iff its shape matches and it is independent of EVERY
+        chain between (reordering across dependents would change results —
+        e.g. toe IKs depend on their leg IK and stay behind it)."""
+        groups: list[list[IKProgram]] = []
+        for ik in run:
+            placed = False
+            for gi in range(len(groups) - 1, -1, -1):
+                g = groups[gi]
+                indep = all(_independent(ik, other) for other in g)
+                if not indep:
+                    break  # cannot reorder past a dependent group
+                if _signature(g[0]) == _signature(ik):
+                    g.append(ik)
+                    placed = True
+                    break
+            if not placed:
+                groups.append([ik])
+        return groups
+
     def build_segments(order: list[int]) -> list[Segment]:
         segments: list[Segment] = []
         fk_run: list[int] = []
+        ik_run: list[IKProgram] = []
 
-        def flush():
+        def flush_ik():
+            for group in _group_iks(ik_run):
+                segments.append(Segment("ik", iks=group))
+            ik_run.clear()
+
+        def flush_fk():
             if fk_run:
                 segments.append(Segment("fk", levels=_levelize(fk_run)))
                 fk_run.clear()
@@ -279,11 +332,13 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
 
         for b in order:
             if b in ik_programs:
-                flush()
-                segments.append(Segment("ik", ik=ik_programs[b]))
+                flush_fk()
+                ik_run.append(ik_programs[b])
             else:
+                flush_ik()
                 fk_run.append(b)
-        flush()
+        flush_fk()
+        flush_ik()
         return segments
 
     # --- morph tables

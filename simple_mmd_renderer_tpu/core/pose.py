@@ -15,6 +15,7 @@ quaternions (x,y,z,w); `world` here corresponds to the reference's
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -106,9 +107,10 @@ def apply_morphs(static: ModelStatic, morph_rates: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _fk_bones(static: ModelStatic, pose: PoseArrays, idx, anim_rot, anim_trans,
-              morph_rot, morph_trans) -> PoseArrays:
+              morph_rot, morph_trans, active=None) -> PoseArrays:
     """Batched FK update of the bones in `idx` (same-level: dependencies are
-    already up to date in `pose`)."""
+    already up to date in `pose`). `active` ([len(idx)] bool) gates writes
+    per bone (used by grouped IK solves to freeze converged chains)."""
     idx = jnp.asarray(idx)
     parent = jnp.asarray(static.bone_parent)[idx]
     app = jnp.asarray(static.append_parent)[idx]
@@ -141,24 +143,19 @@ def _fk_bones(static: ModelStatic, pose: PoseArrays, idx, anim_rot, anim_trans,
                    jnp.eye(4, dtype=jnp.float32))
     world = pw @ local
 
+    if active is not None:
+        a1 = active[:, None]
+        world = jnp.where(active[:, None, None], world, pose.world[idx])
+        total_rot = jnp.where(a1, total_rot, pose.total_rot[idx])
+        total_trans = jnp.where(a1, total_trans, pose.total_trans[idx])
+        pre_ik = jnp.where(a1, pre_ik, pose.pre_ik_rot[idx])
+
     return pose.replace(
         world=pose.world.at[idx].set(world),
         total_rot=pose.total_rot.at[idx].set(total_rot),
         total_trans=pose.total_trans.at[idx].set(total_trans),
         pre_ik_rot=pose.pre_ik_rot.at[idx].set(pre_ik),
     )
-
-
-def _refresh_link_world(static: ModelStatic, world, total_rot, total_trans,
-                        ik_rot, pre_ik_rot, bone: int):
-    """CCD inner chain refresh (poser_impl.inl:292-300):
-    total = ik ⊗ pre_ik; rebuild world from parent."""
-    tr = m3.quat_mul(ik_rot[bone], pre_ik_rot[bone])
-    local = m3.affine(m3.quat_to_mat3(tr),
-                      total_trans[bone] + jnp.asarray(static.local_offset[bone]))
-    p = int(static.bone_parent[bone])
-    pw = world[p] if p >= 0 else jnp.eye(4, dtype=jnp.float32)
-    return world.at[bone].set(pw @ local), total_rot.at[bone].set(tr)
 
 
 def _limit_euler(euler, emin, emax, mirror):
@@ -174,112 +171,149 @@ def _limit_euler(euler, emin, emax, mirror):
     return clamp_hi(clamp_lo(euler))
 
 
-def _solve_ik(static: ModelStatic, pose: PoseArrays, ik: IKProgram,
-              anim_rot, anim_trans, morph_rot, morph_trans) -> PoseArrays:
-    """CCD IK (poser_impl.inl:168-310) for one IK bone. The link loop is
-    statically unrolled (2-3 links); iterations run in a fori_loop with a
-    convergence freeze mask replacing the reference's early return."""
-    links = [int(b) for b in ik.links]
-    nl = len(links)
+def _solve_ik_group(static: ModelStatic, pose: PoseArrays,
+                    iks: list, anim_rot, anim_trans, morph_rot,
+                    morph_trans) -> PoseArrays:
+    """CCD IK (poser_impl.inl:168-310), batched over a group of independent
+    same-shaped chains (model._group_iks) — e.g. both legs solve in one set of
+    vector ops, halving the sequential iteration count. The link loop is
+    statically unrolled; iterations run in a while_loop with per-chain freeze
+    masks, exiting when every chain converges (the reference's early return).
+    """
+    g = len(iks)
+    nl = len(iks[0].links)
+    links = np.stack([ik.links for ik in iks])              # [G,L]
+    link_parents = np.stack([ik.link_parents for ik in iks])
+    targets = np.asarray([ik.target for ik in iks], np.int32)
+    goal_bones = np.asarray([ik.bone for ik in iks], np.int32)
+    loop = iks[0].loop
+    ikt = loop // 2
+    angle_limit = jnp.asarray([ik.angle_limit for ik in iks], jnp.float32)
+    limits_min = jnp.asarray(np.stack([ik.limits_min for ik in iks]))  # [G,L,3]
+    limits_max = jnp.asarray(np.stack([ik.limits_max for ik in iks]))
+    fix_types = iks[0].fix_types      # same across group (signature)
+    orders = iks[0].orders
+    limited = iks[0].limited
 
-    # reset link ik rotations, then re-FK links root-most-first and the target
+    ident_g = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32),
+                               (g * nl, 4))
     pose = pose.replace(
-        ik_rot=pose.ik_rot.at[jnp.asarray(ik.links)].set(
-            jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (nl, 4))))
-    ik_position = pose.world[ik.bone, :3, 3]
-    for b in reversed(links):
-        pose = _fk_bones(static, pose, jnp.asarray([b], jnp.int32),
-                         anim_rot, anim_trans, morph_rot, morph_trans)
-    pose = _fk_bones(static, pose, jnp.asarray([ik.target], jnp.int32),
-                     anim_rot, anim_trans, morph_rot, morph_trans)
-    target_pos = pose.world[ik.target, :3, 3]
+        ik_rot=pose.ik_rot.at[jnp.asarray(links.reshape(-1))].set(ident_g))
+    ik_position = pose.world[jnp.asarray(goal_bones)][:, :3, 3]      # [G,3]
+    for jj in range(nl - 1, -1, -1):
+        pose = _fk_bones(static, pose, links[:, jj], anim_rot, anim_trans,
+                         morph_rot, morph_trans)
+    pose = _fk_bones(static, pose, targets, anim_rot, anim_trans,
+                     morph_rot, morph_trans)
+    target_pos = pose.world[jnp.asarray(targets)][:, :3, 3]          # [G,3]
 
     err = ik_position - target_pos
-    done0 = jnp.sum(err * err) < _EPS
+    done0 = jnp.sum(err * err, -1) < _EPS                            # [G]
 
-    ikt = ik.loop // 2
-    angle_limit = jnp.float32(ik.angle_limit)
+    eye4 = jnp.eye(4, dtype=jnp.float32)
 
-    def fk_target(world, total_rot, total_trans, pre_ik_rot, ik_rot):
-        """Full single-bone FK for the target (UpdateBoneTransform)."""
-        tmp = pose.replace(world=world, total_rot=total_rot,
-                           total_trans=total_trans, pre_ik_rot=pre_ik_rot,
-                           ik_rot=ik_rot)
-        tmp = _fk_bones(static, tmp, jnp.asarray([ik.target], jnp.int32),
-                        anim_rot, anim_trans, morph_rot, morph_trans)
-        return tmp.world, tmp.total_rot, tmp.total_trans, tmp.pre_ik_rot
+    def fk_targets(world, total_rot, ik_rot, active):
+        tmp = pose.replace(world=world, total_rot=total_rot, ik_rot=ik_rot)
+        tmp = _fk_bones(static, tmp, targets, anim_rot, anim_trans,
+                        morph_rot, morph_trans, active=active)
+        return tmp.world, tmp.total_rot
 
-    def iteration(i, carry):
-        world, total_rot, ik_rot, target_pos, done = carry
-        old = (world, total_rot, ik_rot, target_pos)
+    def refresh_links(world, total_rot, ik_rot, k, active):
+        """Chain refresh (poser_impl.inl:292-300), batched over chains."""
+        bk = jnp.asarray(links[:, k])
+        tr = m3.quat_mul(ik_rot[bk], pose.pre_ik_rot[bk])
+        local = m3.affine(m3.quat_to_mat3(tr),
+                          pose.total_trans[bk]
+                          + jnp.asarray(static.local_offset)[bk])
+        p = link_parents[:, k]
+        pw = jnp.where((p >= 0)[:, None, None],
+                       world[jnp.asarray(np.maximum(p, 0))], eye4)
+        new_world = pw @ local
+        world = world.at[bk].set(
+            jnp.where(active[:, None, None], new_world, world[bk]))
+        total_rot = total_rot.at[bk].set(
+            jnp.where(active[:, None], tr, total_rot[bk]))
+        return world, total_rot
+
+    def iteration(carry):
+        i, world, total_rot, ik_rot, target_pos, done = carry
+        active = ~done                                              # [G]
         mirror = i < ikt
-        total_trans = pose.total_trans
         pre_ik_rot = pose.pre_ik_rot
 
-        for j, b in enumerate(links):
-            if ik.fix_types[j] == FIX_ALL:
+        for j in range(nl):
+            if fix_types[j] == FIX_ALL:
                 continue  # statically skipped (poser_impl.inl:215)
-            link_pos = world[b, :3, 3]
+            b = jnp.asarray(links[:, j])
+            link_pos = world[b][:, :3, 3]
             target_dir = link_pos - target_pos
             ik_dir = link_pos - ik_position
-            target_dir = target_dir / jnp.maximum(jnp.linalg.norm(target_dir), _EPS)
-            ik_dir = ik_dir / jnp.maximum(jnp.linalg.norm(ik_dir), _EPS)
+            target_dir = target_dir / jnp.maximum(
+                jnp.linalg.norm(target_dir, axis=-1, keepdims=True), _EPS)
+            ik_dir = ik_dir / jnp.maximum(
+                jnp.linalg.norm(ik_dir, axis=-1, keepdims=True), _EPS)
 
             axis = jnp.cross(target_dir, ik_dir)
             axis = jnp.where(jnp.abs(axis) < _EPS, jnp.float32(_EPS), axis)
 
-            p = int(static.bone_parent[b])
-            loc = world[p] if p >= 0 else jnp.eye(4, dtype=jnp.float32)
+            p = link_parents[:, j]
+            loc = jnp.where((p >= 0)[:, None, None],
+                            world[jnp.asarray(np.maximum(p, 0))], eye4)
 
-            if bool(ik.limited[j]) and ik.fix_types[j] != FIX_NONE:
+            if bool(limited[j]) and fix_types[j] != FIX_NONE:
                 # axis pinned to the parent-local fixed axis while i < ikt
-                axis_idx = {FIX_X: 0, FIX_Y: 1, FIX_Z: 2}[int(ik.fix_types[j])]
-                sign = jnp.where(jnp.dot(axis, loc[:3, axis_idx]) >= 0, 1.0, -1.0)
-                fixed_axis = jnp.zeros(3, jnp.float32).at[axis_idx].set(sign)
-                free_axis = loc[:3, :3].T @ axis
-                free_axis = free_axis / jnp.maximum(jnp.linalg.norm(free_axis), _EPS)
+                ai = {FIX_X: 0, FIX_Y: 1, FIX_Z: 2}[int(fix_types[j])]
+                sign = jnp.where(
+                    jnp.sum(axis * loc[:, :3, ai], -1) >= 0, 1.0, -1.0)
+                fixed_axis = jnp.zeros((g, 3), jnp.float32).at[:, ai].set(sign)
+                free_axis = jnp.einsum("gji,gj->gi", loc[:, :3, :3], axis)
+                free_axis = free_axis / jnp.maximum(
+                    jnp.linalg.norm(free_axis, axis=-1, keepdims=True), _EPS)
                 axis = jnp.where(mirror, fixed_axis, free_axis)
             else:
-                axis = loc[:3, :3].T @ axis
-                axis = axis / jnp.maximum(jnp.linalg.norm(axis), _EPS)
+                axis = jnp.einsum("gji,gj->gi", loc[:, :3, :3], axis)
+                axis = axis / jnp.maximum(
+                    jnp.linalg.norm(axis, axis=-1, keepdims=True), _EPS)
 
-            cosang = jnp.clip(jnp.dot(target_dir, ik_dir), -1.0, 1.0)
+            cosang = jnp.clip(jnp.sum(target_dir * ik_dir, -1), -1.0, 1.0)
             angle = jnp.minimum(jnp.arccos(cosang), angle_limit * (j + 1))
             q = m3.axis_angle_to_quat(axis, angle)
             new_ik = m3.quat_mul(q, ik_rot[b])
 
-            if bool(ik.limited[j]):
+            if bool(limited[j]):
                 local_rotation = m3.quat_mul(new_ik, pre_ik_rot[b])
-                order = ik.orders[j]
+                order = orders[j]
                 euler = m3.quat_to_euler(local_rotation, order)
-                euler = _limit_euler(euler, jnp.asarray(ik.limits_min[j]),
-                                     jnp.asarray(ik.limits_max[j]), mirror)
+                euler = _limit_euler(euler, limits_min[:, j], limits_max[:, j],
+                                     mirror)
                 local_rotation = m3.euler_to_quat(euler, order)
                 new_ik = m3.quat_mul(local_rotation,
                                      m3.quat_conj(pre_ik_rot[b]))
-            ik_rot = ik_rot.at[b].set(new_ik)
+            ik_rot = ik_rot.at[b].set(
+                jnp.where(active[:, None], new_ik, ik_rot[b]))
 
             # refresh chain worlds from this link down to links[0]
             for k in range(j, -1, -1):
-                world, total_rot = _refresh_link_world(
-                    static, world, total_rot, total_trans, ik_rot, pre_ik_rot,
-                    links[k])
-            world, total_rot, _, _ = fk_target(world, total_rot, total_trans,
-                                               pre_ik_rot, ik_rot)
-            target_pos = world[ik.target, :3, 3]
+                world, total_rot = refresh_links(world, total_rot, ik_rot, k,
+                                                 active)
+            world, total_rot = fk_targets(world, total_rot, ik_rot, active)
+            tp = world[jnp.asarray(targets)][:, :3, 3]
+            target_pos = jnp.where(active[:, None], tp, target_pos)
 
         err = ik_position - target_pos
-        new_done = done | (jnp.sum(err * err) < _EPS)
-        sel = lambda n, o: jnp.where(done, o, n)
-        world = sel(world, old[0])
-        total_rot = sel(total_rot, old[1])
-        ik_rot = sel(ik_rot, old[2])
-        target_pos = sel(target_pos, old[3])
-        return world, total_rot, ik_rot, target_pos, new_done
+        done = done | (jnp.sum(err * err, -1) < _EPS)
+        return i + 1, world, total_rot, ik_rot, target_pos, done
 
-    world, total_rot, ik_rot, target_pos, _ = jax.lax.fori_loop(
-        0, ik.loop, iteration,
-        (pose.world, pose.total_rot, pose.ik_rot, target_pos, done0))
+    # early exit when every chain converges, matching the reference's
+    # mid-loop return (poser_impl.inl:305-308)
+    def cond(carry):
+        i, *_, done = carry
+        return (i < loop) & jnp.any(~done)
+
+    _, world, total_rot, ik_rot, target_pos, _ = jax.lax.while_loop(
+        cond, iteration,
+        (jnp.int32(0), pose.world, pose.total_rot, pose.ik_rot, target_pos,
+         done0))
     return pose.replace(world=world, total_rot=total_rot, ik_rot=ik_rot)
 
 
@@ -291,11 +325,11 @@ def _run_segments(static: ModelStatic, pose: PoseArrays, segments,
                 pose = _fk_bones(static, pose, level, anim_rot, anim_trans,
                                  morph_rot, morph_trans)
         else:
-            pose = _fk_bones(static, pose,
-                             jnp.asarray([seg.ik.bone], jnp.int32),
-                             anim_rot, anim_trans, morph_rot, morph_trans)
-            pose = _solve_ik(static, pose, seg.ik, anim_rot, anim_trans,
+            goal_bones = np.asarray([ik.bone for ik in seg.iks], np.int32)
+            pose = _fk_bones(static, pose, goal_bones, anim_rot, anim_trans,
                              morph_rot, morph_trans)
+            pose = _solve_ik_group(static, pose, seg.iks, anim_rot,
+                                   anim_trans, morph_rot, morph_trans)
     return pose
 
 
@@ -319,7 +353,7 @@ def _segment_bones(segments) -> list[int]:
             for level in seg.levels:
                 out.extend(int(b) for b in level)
         else:
-            out.append(seg.ik.bone)
+            out.extend(ik.bone for ik in seg.iks)
     return out
 
 

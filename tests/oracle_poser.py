@@ -113,9 +113,9 @@ class OraclePoser:
                                 np.array([b.transform_level for b in pm.bones])))
         self.pre_order = [i for i in order_key if not st.post_physics[i]]
         self.post_order = [i for i in order_key if st.post_physics[i]]
-        self.ik_programs = {s.ik.bone: s.ik
+        self.ik_programs = {ik.bone: ik
                             for s in st.pre_segments + st.post_segments
-                            if s.kind == "ik"}
+                            if s.kind == "ik" for ik in s.iks}
         self.reset()
 
     def reset(self):
