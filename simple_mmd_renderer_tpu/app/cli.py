@@ -51,7 +51,8 @@ def main(argv=None):
     from ..formats.textures import load_material_textures
     from ..render import ibl
 
-    model_path = next((p for p in args.paths if ".pmx" in p.lower()), None)
+    model_path = next((p for p in args.paths
+                       if ".pmx" in p.lower() or ".pmd" in p.lower()), None)
     motion_path = next((p for p in args.paths if ".vmd" in p.lower()), None)
 
     if args.sample or model_path is None:
@@ -63,7 +64,11 @@ def main(argv=None):
         model_dir = "."
     else:
         print(f"loading model: {model_path}")
-        pm = pmx_mod.load_pmx(model_path)
+        if ".pmd" in model_path.lower():
+            from ..formats.pmd import load_pmd
+            pm = load_pmd(model_path)
+        else:
+            pm = pmx_mod.load_pmx(model_path)
         model_dir = os.path.dirname(os.path.abspath(model_path))
         motion = vmd_mod.load_vmd(motion_path) if motion_path else None
         textures = True
