@@ -22,6 +22,9 @@ class RenderConfig:
     width: int = 1280
     height: int = 720
     clear_color: np.ndarray = _v(0.1, 0.1, 0.15)
+    # reference renders with 4x MSAA (main.cpp:2504); emulated here by 2x2
+    # supersampling when msaa >= 4 (1 = off)
+    msaa: int = 1
 
     # camera (main.cpp:151-156; clip planes main.cpp:1897)
     camera_pos: np.ndarray = _v(0.2, 1.6, -4.0)

@@ -28,10 +28,11 @@ from . import raster
 from . import shade
 
 
-def build_matrices(cfg: RenderConfig, model_mat=None):
+def build_matrices(cfg: RenderConfig, model_mat=None, aspect=None):
     if model_mat is None:
         model_mat = jnp.eye(4, dtype=jnp.float32)
-    aspect = cfg.width / cfg.height
+    if aspect is None:
+        aspect = cfg.width / cfg.height
     proj = cam.perspective(jnp.deg2rad(cfg.camera_fov_deg), aspect,
                            cfg.near, cfg.far)
     view = cam.look_at(cfg.camera_pos, cfg.camera_target,
@@ -129,10 +130,21 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     """Full main-pass image, [H,W,3] float32 in [0,1].
 
     positions_mmd/normals: deformed vertices from core.pose.deform (MMD
-    units)."""
+    units). cfg.msaa >= 4 renders 2x2 supersampled and box-filters down (the
+    reference's 4x MSAA, main.cpp:2504)."""
     width = width or cfg.width
     height = height or cfg.height
-    mats = build_matrices(cfg, model_mat)
+    if cfg.msaa >= 4:
+        import dataclasses
+        sub = dataclasses.replace(cfg, msaa=1,
+                                  shadow_lookup_downsample=max(
+                                      2 * cfg.shadow_lookup_downsample, 2))
+        big = render_frame(static, positions_mmd, normals, sub,
+                           part_textures=part_textures, cubemap=cubemap,
+                           model_mat=model_mat, width=2 * width,
+                           height=2 * height)
+        return big.reshape(height, 2, width, 2, 3).mean(axis=(1, 3))
+    mats = build_matrices(cfg, model_mat, aspect=width / height)
 
     verts_m = positions_mmd * cfg.mmd_to_meter
     tris = jnp.asarray(static.triangles)[:, ::-1]  # winding flip at upload

@@ -216,3 +216,21 @@ def test_ground_lit_map_matches_pcf():
     # both see an actual shadow
     assert (np.asarray(exact)[m] < 0.5).any()
     assert (np.asarray(fast)[m] < 0.5).any()
+
+
+def test_msaa_supersampling():
+    static = _sphere_model(n=8)
+    cfg = RenderConfig(width=64, height=48, shadow_map_size=64,
+                       show_skybox=False, msaa=4)
+    img = np.asarray(render_frame(
+        static, jnp.asarray(static.positions), jnp.asarray(static.normals),
+        cfg))
+    assert img.shape == (48, 64, 3)
+    cfg1 = RenderConfig(width=64, height=48, shadow_map_size=64,
+                        show_skybox=False, msaa=1)
+    img1 = np.asarray(render_frame(
+        static, jnp.asarray(static.positions), jnp.asarray(static.normals),
+        cfg1))
+    # same scene, antialiased edges: small mean difference, nonzero variance
+    assert np.abs(img - img1).mean() < 0.05
+    assert np.abs(img - img1).max() > 0.01
