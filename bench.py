@@ -24,6 +24,9 @@ import numpy as np
 def main():
     import jax
 
+    from simple_mmd_renderer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from simple_mmd_renderer_tpu.app.sample import (sample_character,
                                                     sample_motion)
     from simple_mmd_renderer_tpu.config import AppConfig, RenderConfig

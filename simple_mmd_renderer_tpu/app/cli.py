@@ -40,6 +40,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..config import AppConfig, RenderConfig
     from ..core import anim as anim_mod
     from ..core import model as model_mod

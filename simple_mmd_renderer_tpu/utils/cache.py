@@ -1,0 +1,19 @@
+"""Persistent XLA compilation cache.
+
+Compiles through the axon tunnel take minutes for the full pipeline; the
+on-disk cache makes repeat processes (benchmarks, CLI runs) start in seconds.
+"""
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    import jax
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
