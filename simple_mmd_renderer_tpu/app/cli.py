@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--out", default=None, help="PNG output directory")
+    ap.add_argument("--gif", default=None, help="write an animated GIF")
+    ap.add_argument("--use-camera", action="store_true",
+                    help="drive the camera from the VMD camera track")
     ap.add_argument("--hdr", default=None, help="equirect .hdr environment")
     ap.add_argument("--no-physics", action="store_true")
     ap.add_argument("--no-shadows", action="store_true")
@@ -100,8 +103,13 @@ def main(argv=None):
     else:
         cfg.render.show_skybox = cubemap is not None
 
+    camera = None
+    if args.use_camera and motion is not None and motion.camera is not None:
+        from ..render.camera_anim import bind_camera
+        camera = bind_camera(motion.camera)
+        print("camera driven by VMD camera track")
     scene = Scene(static, ps, mo, cfg, part_textures=part_textures,
-                  cubemap=cubemap)
+                  cubemap=cubemap, camera=camera)
     state = scene.init_state()
     step = scene.jit_step(render=True)
 
@@ -115,11 +123,16 @@ def main(argv=None):
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
+    gif_frames = []
+
     def save(i, img):
-        if args.out:
+        if args.out or args.gif:
             from PIL import Image
-            Image.fromarray((np.asarray(img) * 255).astype(np.uint8)).save(
-                os.path.join(args.out, f"frame_{i:05d}.png"))
+            pil = Image.fromarray((np.asarray(img) * 255).astype(np.uint8))
+            if args.out:
+                pil.save(os.path.join(args.out, f"frame_{i:05d}.png"))
+            if args.gif:
+                gif_frames.append(pil)
 
     save(0, image)
     t0 = time.time()
@@ -130,6 +143,11 @@ def main(argv=None):
     dt = time.time() - t0
     n = max(args.frames - 1, 1)
     print(f"{n} frames in {dt:.2f}s -> {n / dt:.1f} fps")
+    if args.gif and gif_frames:
+        gif_frames[0].save(args.gif, save_all=True,
+                           append_images=gif_frames[1:],
+                           duration=int(1000 / 30), loop=0)
+        print(f"wrote {args.gif} ({len(gif_frames)} frames)")
     return 0
 
 

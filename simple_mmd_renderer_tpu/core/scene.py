@@ -44,6 +44,7 @@ class Scene:
     config: AppConfig = field(default_factory=AppConfig)
     part_textures: list | None = None
     cubemap: jnp.ndarray | None = None
+    camera: object | None = None  # render.camera_anim.CameraArrays
 
     def init_state(self) -> SimState:
         pose = self._neutral_pose()
@@ -89,8 +90,21 @@ class Scene:
 
     def step_and_render(self, state: SimState, width=None, height=None):
         state, pose, positions, normals = self.step_pose(state)
+        rcfg = self.config.render
+        if self.camera is not None:
+            # VMD camera track (render/camera_anim.py): positions are MMD
+            # units -> meters like the vertex path
+            import dataclasses
+
+            from ..render.camera_anim import sample_camera
+            cam = sample_camera(self.camera, state.time * self.config.fps)
+            scale = rcfg.mmd_to_meter
+            rcfg = dataclasses.replace(
+                rcfg, camera_pos=cam["eye"] * scale,
+                camera_target=cam["target"] * scale,
+                camera_fov_deg=cam["fov_deg"])
         image = render_frame(self.static, positions, normals,
-                             self.config.render,
+                             rcfg,
                              part_textures=self.part_textures,
                              cubemap=self.cubemap,
                              width=width, height=height)

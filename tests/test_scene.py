@@ -84,3 +84,25 @@ def test_cli_smoke(tmp_path):
     import os
     assert os.path.isfile(os.path.join(tmp_path, "frame_00000.png"))
     assert os.path.isfile(os.path.join(tmp_path, "frame_00001.png"))
+
+
+def test_scene_with_camera_track():
+    from simple_mmd_renderer_tpu.formats import vmd as V
+    from simple_mmd_renderer_tpu.formats.writers import write_vmd
+    from simple_mmd_renderer_tpu.render.camera_anim import bind_camera
+    scene = _scene()
+    data = write_vmd("cam", [], [], camera_keys=[
+        {"frame": 0, "position": (0, 12, 0), "focal_length": -35.0,
+         "fov": 30.0},
+        {"frame": 60, "position": (4, 12, 0), "focal_length": -35.0,
+         "fov": 45.0}])
+    cam_motion = V.parse_vmd(data)
+    scene.camera = bind_camera(cam_motion.camera)
+    state = scene.init_state()
+    step = scene.jit_step(render=True, donate=False)
+    state, img1 = step(state)
+    for _ in range(8):
+        state, img2 = step(state)
+    assert np.isfinite(np.asarray(img2)).all()
+    # camera moved -> framing changes even beyond animation differences
+    assert np.abs(np.asarray(img1) - np.asarray(img2)).mean() > 1e-3
