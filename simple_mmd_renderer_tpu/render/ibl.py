@@ -80,8 +80,8 @@ def sample_cubemap(cubemap, dirs):
 
     px = jnp.clip(((u * 0.5 + 0.5) * s).astype(jnp.int32), 0, s - 1)
     py = jnp.clip(((v * 0.5 + 0.5) * s).astype(jnp.int32), 0, s - 1)
-    # rows were y-flipped at write time
-    return cubemap[face, (s - 1) - py, px]
+    # rows were y-flipped at write time; cubemap may be a numpy constant
+    return jnp.asarray(cubemap)[face, (s - 1) - py, px]
 
 
 def aces_tonemap(x):
