@@ -104,6 +104,9 @@ class ModelStatic:
     # --- physics
     rigid_bodies: list[P.RigidBody]
     constraints: list[P.Constraint]
+    # dense [N,B] LBS weight matrix for the MXU skinning path (ops/skinning);
+    # None when N*B exceeds the memory budget (gather path used instead)
+    skin_weight_dense: np.ndarray | None = None
 
 
 def _classify_ik_link(lo: np.ndarray, hi: np.ndarray) -> tuple[str, int, np.ndarray, np.ndarray]:
@@ -363,6 +366,13 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
     part_count = np.array([mt.n_triangles for mt in pm.materials], np.int32)
     part_tex = np.array([mt.texture for mt in pm.materials], np.int32)
 
+    n_verts = len(pm.positions)
+    skin_weight_dense = None
+    if n_bones and n_verts and n_verts * n_bones <= 64_000_000:
+        from ..ops.skinning import build_weight_matrix
+        skin_weight_dense = build_weight_matrix(
+            skin_bones_safe, skin_weights.astype(np.float32), n_bones)
+
     return ModelStatic(
         name=pm.name,
         positions=pm.positions.astype(np.float32),
@@ -396,4 +406,5 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
         part_base=part_base, part_count=part_count, part_tex=part_tex,
         materials=pm.materials, textures=pm.textures,
         rigid_bodies=pm.rigid_bodies, constraints=pm.constraints,
+        skin_weight_dense=skin_weight_dense,
     )

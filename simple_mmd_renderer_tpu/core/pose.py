@@ -388,11 +388,21 @@ def post_physics_posing(static: ModelStatic, pose: PoseArrays, anim_rot,
 # Deform (poser_impl.inl:396-461): uniform 4-wide linear blend skinning
 # ---------------------------------------------------------------------------
 
-def deform(static: ModelStatic, pose: PoseArrays):
+def deform(static: ModelStatic, pose: PoseArrays, use_matmul=None):
     """-> (positions [N,3], normals [N,3]) in MMD units.
 
     BDEF1/BDEF2/BDEF4 and the reference's SDEF->BDEF2 matrix-lerp fallback all
-    reduce to M = sum_k w_k * skin[b_k] on 4-wide normalized tables."""
+    reduce to M = sum_k w_k * skin[b_k] on 4-wide normalized tables. When the
+    dense weight matrix exists, the blend runs as a bone-palette matmul on the
+    MXU (ops/skinning.py); otherwise (or on request) a 4-wide gather."""
+    if use_matmul is None:
+        use_matmul = static.skin_weight_dense is not None
+    if use_matmul and static.skin_weight_dense is not None:
+        from ..ops.skinning import skin_matmul
+        return skin_matmul(static.skin_weight_dense, pose.skin,
+                           jnp.asarray(static.positions),
+                           pose.vertex_offsets,
+                           jnp.asarray(static.normals))
     bones = jnp.asarray(static.skin_bones)      # [N,4]
     weights = jnp.asarray(static.skin_weights)  # [N,4]
     mats = pose.skin[bones]                     # [N,4,4,4]

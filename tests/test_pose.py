@@ -210,3 +210,37 @@ def test_pipeline_jits_and_vmaps():
     np.testing.assert_allclose(
         batched[np.argmin(np.abs(np.linspace(-2, 1, 4)))],
         single, atol=1e-4)
+
+
+def test_matmul_skinning_matches_gather():
+    pm = two_bone_arm()
+    static = M.build_model(pm)
+    assert static.skin_weight_dense is not None
+    rot, trans, rates = neutral_inputs(static)
+    rot[0] = [0, 0, np.sin(0.4), np.cos(0.4)]
+    trans[1] = [0.2, 0.1, 0.0]
+    rates[0] = 0.7
+    pose = run_jax(static, rot, trans, rates)
+    p_mm, n_mm = PO.deform(static, pose, use_matmul=True)
+    p_g, n_g = PO.deform(static, pose, use_matmul=False)
+    np.testing.assert_allclose(np.asarray(p_mm), np.asarray(p_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n_mm), np.asarray(n_g), atol=1e-5)
+
+
+def test_skinning_bitwise_stable():
+    """BASELINE.md: skinning must be bitwise-stable — identical inputs give
+    bit-identical outputs across separate jitted executions."""
+    pm = two_bone_arm()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    rot[1] = [np.sin(0.3), 0, 0, np.cos(0.3)]
+
+    @jax.jit
+    def run(r, t, m):
+        pose = PO.pre_physics_posing(static, r, t, m)
+        pose = PO.post_physics_posing(static, pose, r, t, m)
+        return PO.deform(static, pose)[0]
+
+    a = np.asarray(run(jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(rates)))
+    b = np.asarray(run(jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(rates)))
+    np.testing.assert_array_equal(a, b)
