@@ -281,22 +281,42 @@ def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, k_max):
     return vis, attr[:, :height, :width]
 
 
+BIG_TRI_CAP = 64
+
+
 def _merge_big(vis, attr, clip, tris, width, height, s, big, attrs):
-    """Exact scan raster over oversized triangles, merged by depth."""
+    """Exact scan raster over oversized triangles, merged by depth.
+
+    Only the first BIG_TRI_CAP oversized triangles are rasterized (compacted
+    to the front with a stable sort), so a close-up can never degenerate into
+    a full scan over the whole mesh — the fallback's cost is bounded at
+    ~BIG_TRI_CAP full-frame edge evaluations, and only when triggered."""
     any_big = jnp.any(big)
 
     def merge(args):
         vis, attr = args
-        s_big = dict(s)
-        s_big["valid"] = s["valid"] & big
-        vis_big = _scan_subset(clip, tris, width, height, s_big)
+        t = tris.shape[0]
+        cap = min(BIG_TRI_CAP, t)
+        # stable-compact big tris to the front, keep `cap` of them
+        order = jnp.argsort(~big, stable=True)[:cap]
+        s_big = {
+            "xy": s["xy"][order],
+            "z": s["z"][order],
+            "area2": s["area2"][order],
+            "valid": (s["valid"] & big)[order],
+            "inv_w": s["inv_w"][order],
+        }
+        vis_big = _scan_subset(clip, tris[order], width, height, s_big)
+        # map compacted ids back to original triangle ids
+        real_tri = jnp.where(vis_big.tri >= 0,
+                             order[jnp.maximum(vis_big.tri, 0)], -1)
         better = (vis_big.depth <= vis.depth) & (vis_big.tri >= 0)
         merged = raster.VisBuffer(
             depth=jnp.where(better, vis_big.depth, vis.depth),
-            tri=jnp.where(better, vis_big.tri, vis.tri),
+            tri=jnp.where(better, real_tri, vis.tri),
             bary=jnp.where(better[..., None], vis_big.bary, vis.bary))
         if attrs is not None:
-            big_attr = raster.interpolate(vis_big, clip, tris, attrs)
+            big_attr = raster.interpolate(vis_big, clip, tris[order], attrs)
             big_attr = jnp.moveaxis(big_attr, -1, 0)
             attr = jnp.where(better[None], big_attr, attr)
         return merged, attr

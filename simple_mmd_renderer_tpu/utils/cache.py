@@ -9,10 +9,14 @@ import os
 
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
-    if path is None:
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     try:
+        if jax.default_backend() != "tpu":
+            # CPU AOT entries are machine-feature-specific and can SIGILL
+            # when loaded on a different host; only cache TPU executables.
+            return
+        if path is None:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
