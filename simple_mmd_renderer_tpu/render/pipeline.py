@@ -101,7 +101,13 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
     main.cpp:942)."""
     raster_fn = raster_fn or raster.rasterize
     clip = raster.transform_clip(verts_m, light_mvp)
-    vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
+    if raster_fn is not raster.rasterize:
+        # depth-only: small bins are plenty (oversized tris hit the bounded
+        # exact fallback)
+        vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT,
+                        6, 128)
+    else:
+        vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
     return vis.depth
 
 
@@ -208,7 +214,7 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     else:
         from ..ops.tiled_raster import rasterize_attrs_tiled
         vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
-                                             height, raster.CULL_BACK)
+                                             height, raster.CULL_BACK, 6, 192)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = attr_px[..., 0:3]

@@ -74,3 +74,14 @@ def test_tiled_overflow_cap_graceful():
     got = tiled_raster.rasterize_tiled(clip, tris, 128, 64, raster.CULL_NONE,
                                        9, 64)
     assert np.isfinite(np.asarray(got.depth)).all()
+
+
+def test_tiled_tuned_params_match_scan():
+    """The pipeline's tuned (e_max=6, k_max=128/192) settings stay exact."""
+    rng = np.random.default_rng(7)
+    clip, tris = _random_mesh(rng, t=250)
+    w, h = 256, 128
+    ref = raster.rasterize(clip, tris, w, h, raster.CULL_NONE)
+    got = tiled_raster.rasterize_tiled(clip, tris, w, h, raster.CULL_NONE,
+                                       6, 128)
+    _assert_vis_equal(got, ref)
