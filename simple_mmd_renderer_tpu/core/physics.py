@@ -459,13 +459,15 @@ def _inv_inertia_world(ps, quat):
 
 
 def _apply_position_corrections(ps, pos, quat, idx_a, idx_b, n, c, r_a, r_b,
-                                alpha, count_scale, dt):
+                                alpha, count_scale, dt, iiw=None):
     """Batched XPBD positional constraint projection with Jacobi averaging.
 
     For each row k: bodies (a,b), world direction n, violation c (positive =
-    must separate along +n for a), anchors r (world, from body origin)."""
+    must separate along +n for a), anchors r (world, from body origin).
+    `iiw` (world inverse inertia) may be precomputed per iteration."""
     inv_m = jnp.asarray(ps.inv_mass)
-    iiw = _inv_inertia_world(ps, quat)
+    if iiw is None:
+        iiw = _inv_inertia_world(ps, quat)
 
     ra_x_n = jnp.cross(r_a, n)
     rb_x_n = jnp.cross(r_b, n)
@@ -499,8 +501,9 @@ def _apply_small_rotation(quat, w):
 
 
 def _apply_angular_corrections(ps, quat, idx_a, idx_b, axis, c, alpha,
-                               count_scale, dt):
-    iiw = _inv_inertia_world(ps, quat)
+                               count_scale, dt, iiw=None):
+    if iiw is None:
+        iiw = _inv_inertia_world(ps, quat)
     w_a = jnp.einsum("ki,kij,kj->k", axis, iiw[idx_a], axis)
     w_b = jnp.einsum("ki,kij,kj->k", axis, iiw[idx_b], axis)
     denom = w_a + w_b + alpha / (dt * dt)
@@ -514,7 +517,7 @@ def _apply_angular_corrections(ps, quat, idx_a, idx_b, axis, c, alpha,
     return _apply_small_rotation(quat, rot_acc)
 
 
-def _joint_pass(ps: PhysicsStatic, pos, quat, dt):
+def _joint_pass(ps: PhysicsStatic, pos, quat, dt, iiw=None):
     """All 6DOF joint axes as batched constraint rows: 6C linear rows (3 hard
     limit + 3 spring) in one scatter, 6C angular rows in another."""
     if ps.n_joints == 0:
@@ -565,7 +568,7 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt):
                                                  r_a.shape[:1] + (3, 3))), (2, 1)),
         jnp.tile(rows3v(jnp.broadcast_to(r_b[:, None, :],
                                          r_b.shape[:1] + (3, 3))), (2, 1)),
-        alpha_rows, scale, dt)
+        alpha_rows, scale, dt, iiw=iiw)
 
     # angular: relative rotation decomposed on the A-frame axes (XYZ euler,
     # like Bullet's 6dof)
@@ -587,26 +590,33 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt):
         jnp.concatenate([-rows3(aviol), -rows3(aspring_viol)]),
         jnp.concatenate([jnp.zeros(3 * ps.n_joints, jnp.float32),
                          rows3(aalpha)]),
-        scale, dt)
+        scale, dt, iiw=iiw)
     return pos, quat
 
 
-def _contact_pass(ps: PhysicsStatic, pos, quat, has_floor, dt):
+def _contact_pass(ps: PhysicsStatic, pos, quat, has_floor, dt, cache,
+                  pos_detect, iiw=None):
+    """Resolve the substep's cached contact set (detected once per substep,
+    like Bullet's per-step narrowphase): normals and anchors stay fixed,
+    penetration depth is re-estimated from body translation along the
+    normal."""
     inv_m = jnp.asarray(ps.inv_mass)
+    (c_point, c_n, c_depth0, g_depth0) = cache
     # pairwise
     if len(ps.pair_i):
         i = jnp.asarray(ps.pair_i)
         j = jnp.asarray(ps.pair_j)
-        point, n, depth = pair_contacts(ps, pos, quat)
-        depth = jnp.maximum(depth, 0.0)
+        moved = jnp.sum(c_n * ((pos[i] - pos_detect[i])
+                               - (pos[j] - pos_detect[j])), -1)
+        depth = jnp.maximum(c_depth0 - moved, 0.0)
         scale = 1.0 / jnp.asarray(ps.body_pair_count)
-        r_a = point - pos[i]
-        r_b = point - pos[j]
+        r_a = c_point - pos[i]
+        r_b = c_point - pos[j]
         pos, quat = _apply_position_corrections(
-            ps, pos, quat, i, j, n, -depth, r_a, r_b,
-            jnp.zeros_like(depth), scale, dt)
-    # ground plane
-    depth, point = ground_contacts(ps, pos, quat)
+            ps, pos, quat, i, j, c_n, -depth, r_a, r_b,
+            jnp.zeros_like(depth), scale, dt, iiw=iiw)
+    # ground plane: depth shrinks as the body rises
+    depth = g_depth0 - (pos[:, 1] - pos_detect[:, 1])
     depth = jnp.where(has_floor, jnp.maximum(depth, 0.0), 0.0)
     dyn = inv_m > 0
     push = jnp.where(dyn, depth, 0.0)
@@ -631,10 +641,22 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
     pos = pos0 + jnp.where(dyn, vel * dt, 0.0)
     quat = jnp.where(dyn, _apply_small_rotation(quat0, omega * dt), quat0)
 
+    # narrowphase once per substep (Bullet-style); iterations reuse the set
+    if len(ps.pair_i):
+        c_point, c_n, c_depth0 = pair_contacts(ps, pos, quat)
+    else:
+        z3 = jnp.zeros((0, 3), jnp.float32)
+        c_point, c_n, c_depth0 = z3, z3, jnp.zeros((0,), jnp.float32)
+    g_depth0, _ = ground_contacts(ps, pos, quat)
+    cache = (c_point, c_n, jnp.maximum(c_depth0, 0.0), g_depth0)
+    pos_detect = pos
+
     def iteration(_, carry):
         pos, quat = carry
-        pos, quat = _joint_pass(ps, pos, quat, dt)
-        pos, quat = _contact_pass(ps, pos, quat, cfg.has_floor, dt)
+        iiw = _inv_inertia_world(ps, quat)
+        pos, quat = _joint_pass(ps, pos, quat, dt, iiw=iiw)
+        pos, quat = _contact_pass(ps, pos, quat, cfg.has_floor, dt, cache,
+                                  pos_detect, iiw=iiw)
         pos = jnp.where(dyn, pos, target_pos)
         quat = jnp.where(dyn, quat, target_quat)
         return pos, quat
