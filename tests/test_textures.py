@@ -1,0 +1,79 @@
+import numpy as np
+import jax.numpy as jnp
+
+from simple_mmd_renderer_tpu.formats.textures import (sample_bilinear,
+                                                      resolve_texture_path,
+                                                      load_texture, WHITE_1X1)
+from simple_mmd_renderer_tpu.render import raster
+from simple_mmd_renderer_tpu.render.pipeline import (character_albedo,
+                                                     _albedo_atlas)
+from simple_mmd_renderer_tpu.core import model as M
+
+from fixtures import two_bone_arm
+
+
+def test_bilinear_sampling_basics():
+    tex = np.zeros((4, 4, 3), np.float32)
+    tex[:, :2] = [1, 0, 0]
+    tex[:, 2:] = [0, 1, 0]
+    uv = jnp.asarray([[0.125, 0.125], [0.875, 0.125], [0.5, 0.5]])
+    out = np.asarray(sample_bilinear(tex, uv))
+    np.testing.assert_allclose(out[0], [1, 0, 0], atol=1e-6)  # texel center
+    np.testing.assert_allclose(out[1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(out[2], [0.5, 0.5, 0], atol=1e-6)  # boundary
+
+
+def test_texture_fallback_white():
+    assert load_texture("definitely_missing.png", "/nonexistent").shape == (1, 1, 3)
+    assert resolve_texture_path("nope.png", "/nonexistent") is None
+
+
+def _two_part_model():
+    pm = two_bone_arm()
+    pm.materials = [pm.materials[0], pm.materials[0].__class__(
+        **{**pm.materials[0].__dict__})]
+    pm.materials[0].n_triangles = 1
+    pm.materials[0].base_shift = 0
+    pm.materials[1].n_triangles = 1
+    pm.materials[1].base_shift = 1
+    return M.build_model(pm)
+
+
+def test_atlas_matches_per_part():
+    static = _two_part_model()
+    rng = np.random.default_rng(0)
+    tex_a = rng.random((8, 8, 3)).astype(np.float32)
+    tex_b = rng.random((16, 4, 3)).astype(np.float32)
+    textures = [tex_a, tex_b]
+
+    h, w = 24, 32
+    vis = raster.VisBuffer(
+        depth=jnp.zeros((h, w)),
+        tri=jnp.asarray(rng.integers(0, 2, (h, w)).astype(np.int32)),
+        bary=jnp.zeros((h, w, 2)))
+    uv = jnp.asarray(rng.random((h, w, 2)).astype(np.float32)) * 0.9
+
+    atlas_out = np.asarray(_albedo_atlas(static, vis, uv, textures))
+    # per-part reference (force the loop path with a white dummy difference)
+    ref = np.ones((h, w, 3), np.float32)
+    for p, (base, count) in enumerate([(0, 1), (1, 1)]):
+        mask = (np.asarray(vis.tri) >= base) & (np.asarray(vis.tri) < base + count)
+        col = np.asarray(sample_bilinear(textures[p], uv))
+        ref[mask] = col[mask]
+    np.testing.assert_allclose(atlas_out, ref, atol=1e-5)
+
+
+def test_character_albedo_dispatches_to_atlas():
+    static = _two_part_model()
+    rng = np.random.default_rng(1)
+    textures = [rng.random((8, 8, 3)).astype(np.float32),
+                rng.random((8, 8, 3)).astype(np.float32)]
+    h, w = 8, 8
+    vis = raster.VisBuffer(
+        depth=jnp.zeros((h, w)),
+        tri=jnp.zeros((h, w), jnp.int32),
+        bary=jnp.zeros((h, w, 2)))
+    uv = jnp.full((h, w, 2), 0.3)
+    out = np.asarray(character_albedo(static, vis, uv, textures))
+    assert out.shape == (h, w, 3)
+    assert np.isfinite(out).all()
