@@ -297,13 +297,6 @@ def physics_reset(ps: PhysicsStatic, pose: PoseArrays) -> PhysicsState:
 # Contacts
 # ---------------------------------------------------------------------------
 
-def _support_points(shape, dims, pos, quat):
-    """Sample points for point-based contact approximations: center + shape
-    extremes. Returns [K,3] world points and their radius (for spheres the
-    sample IS the center with radius r)."""
-    raise NotImplementedError  # not used; kept for documentation
-
-
 def _capsule_segment(dims, pos, quat):
     """Capsule axis endpoints (axis = local Y, half-length h/2)."""
     half = dims[..., 1:2] * 0.5

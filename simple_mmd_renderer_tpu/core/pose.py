@@ -172,7 +172,7 @@ def _limit_euler(euler, emin, emax, mirror):
 
 
 def _solve_ik_group(static: ModelStatic, pose: PoseArrays,
-                    iks: list, anim_rot, anim_trans, morph_rot,
+                    iks: list[IKProgram], anim_rot, anim_trans, morph_rot,
                     morph_trans) -> PoseArrays:
     """CCD IK (poser_impl.inl:168-310), batched over a group of independent
     same-shaped chains (model._group_iks) — e.g. both legs solve in one set of
