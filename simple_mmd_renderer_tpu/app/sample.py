@@ -182,21 +182,23 @@ def sample_character(density: float = 1.0) -> P.PmxModel:
             P.IKLink(ankle, False, np.zeros(3, F), np.zeros(3, F))]
         legs[side] = (hip, knee, ankle, toe, ik)
 
-    # hair chains (from the head) and skirt chains (from the lower body)
+    # hair chains (behind the head) and skirt chains (around the hips) —
+    # rest positions must clear the kinematic colliders below, or contacts
+    # eject the chains at frame 0
     hair_chains = []
-    for k, ang in enumerate(np.linspace(0, 2 * np.pi, 5, endpoint=False)):
-        cx, cz = 0.7 * np.cos(ang), 0.7 * np.sin(ang) + 0.4
+    for k, ang in enumerate(np.linspace(-0.9, 0.9, 5)):
+        cx, cz = 1.2 * np.sin(ang), 1.2 * np.cos(ang) * 0.7 + 0.9
         chain = []
         parent = head
         for seg in range(4):
-            idx = add(f"髪{k}_{seg}", (cx, 16.0 - 1.1 * (seg + 1), cz), parent)
+            idx = add(f"髪{k}_{seg}", (cx, 15.3 - 1.0 * (seg + 1), cz), parent)
             chain.append(idx)
             parent = idx
         hair_chains.append(chain)
 
     skirt_chains = []
     for k, ang in enumerate(np.linspace(0, 2 * np.pi, 8, endpoint=False)):
-        cx, cz = 1.2 * np.cos(ang), 1.2 * np.sin(ang)
+        cx, cz = 1.9 * np.cos(ang), 1.9 * np.sin(ang)
         chain = []
         parent = lower
         for seg in range(3):
@@ -294,9 +296,9 @@ def sample_character(density: float = 1.0) -> P.PmxModel:
     NO_HAIR = ALL & ~(1 << 1)
     NO_SKIRT = ALL & ~(1 << 2)
 
-    body("体下", lower, P.SHAPE_CAPSULE, (1.2, 1.0, 0), (0, 10.5, 0), K, 0, ALL, 0)
-    body("体上", upper2, P.SHAPE_CAPSULE, (1.0, 1.6, 0), (0, 13.2, 0), K, 0, ALL, 0)
-    body("頭", head, P.SHAPE_SPHERE, (1.5, 0, 0), (0, 16.5, 0), K, 0, ALL, 0)
+    body("体下", lower, P.SHAPE_CAPSULE, (1.0, 1.0, 0), (0, 10.5, 0), K, 0, ALL, 0)
+    body("体上", upper2, P.SHAPE_CAPSULE, (0.85, 1.6, 0), (0, 13.2, 0), K, 0, ALL, 0)
+    body("頭", head, P.SHAPE_SPHERE, (1.2, 0, 0), (0, 16.5, 0), K, 0, ALL, 0)
     for side in ("左", "右"):
         hip, knee, ankle, toe, _ = legs[side]
         mid_t = (b_pos[hip] + b_pos[knee]) / 2
@@ -318,7 +320,7 @@ def sample_character(density: float = 1.0) -> P.PmxModel:
                 idx = body(f"{name}{ci}_{si}", bi, P.SHAPE_SPHERE,
                            (radius, 0, 0), p, D, group, mask,
                            mass=0.15, damp=0.75)
-                anchor = b_pos[bi] + np.array([0, 0.55, 0], F)
+                anchor = b_pos[bi] + np.array([0, 0.5, 0], F)
                 joints.append(P.Constraint(
                     f"{name}J{ci}_{si}", "", prev_body, idx, anchor,
                     np.zeros(3, F), np.zeros(3, F), np.zeros(3, F),

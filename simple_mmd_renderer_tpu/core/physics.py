@@ -641,7 +641,9 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
         z3 = jnp.zeros((0, 3), jnp.float32)
         c_point, c_n, c_depth0 = z3, z3, jnp.zeros((0,), jnp.float32)
     g_depth0, _ = ground_contacts(ps, pos, quat)
-    cache = (c_point, c_n, jnp.maximum(c_depth0, 0.0), g_depth0)
+    # keep signed depths: separated pairs must stay negative or they act as
+    # phantom touching contacts the moment anything moves along the normal
+    cache = (c_point, c_n, c_depth0, g_depth0)
     pos_detect = pos
 
     def iteration(_, carry):

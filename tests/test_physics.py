@@ -225,3 +225,31 @@ def test_hair_chain_stable_10s():
     # chain stays connected
     gaps = np.linalg.norm(np.diff(np.asarray(state.pos), axis=0), axis=-1)
     assert (gaps < 4.0).all()
+
+
+def test_sample_character_hair_hangs():
+    """Regression: separated pairs must not act as phantom contacts (a cached
+    depth clamp once sent the sample character's hair floating above its
+    head)."""
+    from simple_mmd_renderer_tpu.app.sample import (sample_character,
+                                                    sample_motion)
+    from simple_mmd_renderer_tpu.core import anim as A
+    from simple_mmd_renderer_tpu.core.scene import Scene
+    from simple_mmd_renderer_tpu.config import AppConfig
+
+    pm = sample_character(density=0.25)
+    static = M.build_model(pm)
+    mo = A.bind_motion(static, sample_motion(90, fps_keys=10))
+    ps = PH.build_physics(static)
+    scene = Scene(static, ps, mo, AppConfig())
+    state = scene.init_state()
+    step = scene.jit_step(render=False, donate=False)
+    hair = [i for i, b in enumerate(pm.rigid_bodies)
+            if b.name.startswith("髪")]
+    rest_top = float(np.asarray(state.physics.pos)[hair][:, 1].max())
+    for _ in range(45):
+        state, *_ = step(state)
+    hp = np.asarray(state.physics.pos)[hair]
+    assert np.isfinite(hp).all()
+    assert hp[:, 1].max() < rest_top + 1.5, "hair climbed above its anchors"
+    assert hp[:, 1].min() > 5.0, "hair fell through the body"
