@@ -128,6 +128,8 @@ def _bin(s, rows, width, height, e_max, k_max):
     order = jnp.argsort(flat_tile, stable=True)
     sorted_tile = flat_tile[order]
     sorted_tri = flat_tri[order]
+    # (a histogram+cumsum formulation is ~3x SLOWER here: scatter-add with
+    # ~100k collisions into 2k bins serializes on TPU)
     start = jnp.searchsorted(sorted_tile,
                              jnp.arange(n_tiles + 1, dtype=jnp.int32),
                              side="left").astype(jnp.int32)
