@@ -4,13 +4,14 @@ Same visibility-buffer semantics as `render.raster.rasterize` (LESS_EQUAL
 z-test, y-down screen, guard-band near clip) but organized for the hardware:
 
 1. XLA binning: each triangle's screen bbox is expanded into (tile, entry)
-   pairs (capped at E_MAX tiles/tri), sorted by tile with a stable sort (which
-   preserves draw order for z-ties), and scattered into a dense
-   [n_tiles, K_MAX] bin layout.
-2. Pallas kernel: one grid step per 32x128-pixel tile; the tile's K entries
-   are VMEM-resident, a dynamic-trip fori_loop evaluates edge functions over
-   the whole tile per entry and updates depth/tri/attribute accumulators.
-   Only the final tile buffers are written to HBM.
+   pairs (capped at E_MAX tiles/tri) and sorted by tile with a stable sort
+   (which preserves draw order for z-ties); the setup rows are gathered into
+   sorted order so every tile's entries are CONTIGUOUS in HBM.
+2. Pallas kernel: one grid step per 32x128-pixel tile; the tile's entry
+   window is DMA'd from HBM into VMEM in one sequential copy, then a
+   dynamic-trip fori_loop evaluates edge functions over the whole tile per
+   entry and updates depth/tri/attribute accumulators. Only the final tile
+   buffers are written to HBM.
 3. `rasterize_attrs_tiled` additionally interpolates per-vertex attributes
    perspective-correctly INSIDE the kernel: attributes (pre-multiplied by
    1/w) ride the binned setup rows, so shading needs no random vertex
