@@ -18,7 +18,7 @@ def _v(*xs):
 
 @dataclass
 class RenderConfig:
-    # window / framebuffer (main.cpp:2502-2504; MSAA is not implemented)
+    # window / framebuffer (main.cpp:2502-2504)
     width: int = 1280
     height: int = 720
     clear_color: np.ndarray = _v(0.1, 0.1, 0.15)
@@ -82,6 +82,9 @@ class PhysicsConfig:
     world_scale: float = 10.0          # "world is scaled by 10"
     has_floor: bool = True
     floor_friction: float = 0.265
+    # the reference never sets restitution on its ground body, so it keeps
+    # Bullet's default 0 — combined body-vs-floor restitution is always 0
+    floor_restitution: float = 0.0
     dt: float = 1.0 / 30.0             # main.cpp:1806
     substep_hz: float = 60.0           # stepSimulation internal step
     max_substeps: int = 60

@@ -17,9 +17,18 @@ substeps, all jit/vmap-friendly. Semantics mirrored from the binding:
   matrix for dynamic non-ghost bodies, :34-40), then Fix (PHYSICS_STRICT
   bones re-pin translation, :42-56)
 
+Contact material response mirrors Bullet's combination rules: friction and
+restitution combine multiplicatively across the two bodies
+(`btManifoldResult::calculateCombined{Friction,Restitution}`); the reference's
+ground plane has friction 0.265 (mmd-bullet_impl.inl:76-88) and Bullet-default
+restitution 0 (never set). Friction is the standard XPBD positional form —
+the tangential contact-point displacement accumulated over the substep is
+cancelled, capped by mu * (normal correction), which reduces to Coulomb
+dynamic friction for sliding bodies and exact sticking below the cap.
+Restitution is a velocity-level pass after the position solve.
+
 Divergences from Bullet (documented, qualitative parity is the goal): the
-solver is positional (XPBD-style) rather than sequential-impulse, restitution
-is not modeled (MMD bodies are ~0-restitution cloth/hair), and box-box /
+solver is positional (XPBD-style) rather than sequential-impulse, and box-box /
 capsule-box contacts use point-sampled approximations.
 """
 
@@ -60,6 +69,7 @@ class PhysicsStatic:
     lin_damp: np.ndarray      # [R]
     ang_damp: np.ndarray      # [R]
     friction: np.ndarray      # [R]
+    restitution: np.ndarray   # [R]
     rest_quat: np.ndarray     # [R,4] body frame rotation (YXZ euler)
     rest_pos: np.ndarray      # [R,3] body frame origin
     writeback: np.ndarray     # [R] bool — dynamic, non-ghost, last body on bone
@@ -160,6 +170,7 @@ def build_physics(static: ModelStatic) -> PhysicsStatic:
     lin_damp = np.zeros(r, np.float32)
     ang_damp = np.zeros(r, np.float32)
     friction = np.zeros(r, np.float32)
+    restitution = np.zeros(r, np.float32)
     rest_quat = np.tile(np.array([0, 0, 0, 1], np.float32), (r, 1))
     rest_pos = np.zeros((r, 3), np.float32)
     group = np.zeros(r, np.int32)
@@ -180,6 +191,7 @@ def build_physics(static: ModelStatic) -> PhysicsStatic:
         lin_damp[i] = b.linear_damping
         ang_damp[i] = b.angular_damping
         friction[i] = b.friction
+        restitution[i] = b.restitution
         rest_quat[i] = _yxz_quat(b.rotation)
         rest_pos[i] = b.position
         group[i] = b.group
@@ -248,7 +260,8 @@ def build_physics(static: ModelStatic) -> PhysicsStatic:
         n_bodies=r, n_joints=c, bone=bone, has_bone=has_bone, kinematic=kin,
         strict=strict, ghost=ghost, shape=shape, dims=dims, inv_mass=inv_mass,
         inv_inertia=inv_inertia, lin_damp=lin_damp, ang_damp=ang_damp,
-        friction=friction, rest_quat=rest_quat, rest_pos=rest_pos,
+        friction=friction, restitution=restitution,
+        rest_quat=rest_quat, rest_pos=rest_pos,
         writeback=writeback,
         pair_i=np.asarray(pi, np.int32), pair_j=np.asarray(pj, np.int32),
         j_a=j_a, j_b=j_b, j_qa=j_qa, j_ta=j_ta, j_qb=j_qb, j_tb=j_tb,
@@ -587,13 +600,16 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt, iiw=None):
     return pos, quat
 
 
-def _contact_pass(ps: PhysicsStatic, pos, quat, has_floor, dt, cache,
-                  pos_detect, iiw=None):
+def _contact_pass(ps: PhysicsStatic, pos, quat, cfg, dt, cache,
+                  pos_detect, pos_prev, iiw=None):
     """Resolve the substep's cached contact set (detected once per substep,
     like Bullet's per-step narrowphase): normals and anchors stay fixed,
     penetration depth is re-estimated from body translation along the
-    normal."""
+    normal. Friction: the tangential contact displacement accumulated since
+    the substep start (`pos_prev`) is cancelled, capped at mu * (this
+    iteration's normal correction) — the XPBD positional Coulomb model."""
     inv_m = jnp.asarray(ps.inv_mass)
+    fric = jnp.asarray(ps.friction)
     (c_point, c_n, c_depth0, g_depth0) = cache
     # pairwise
     if len(ps.pair_i):
@@ -608,12 +624,31 @@ def _contact_pass(ps: PhysicsStatic, pos, quat, has_floor, dt, cache,
         pos, quat = _apply_position_corrections(
             ps, pos, quat, i, j, c_n, -depth, r_a, r_b,
             jnp.zeros_like(depth), scale, dt, iiw=iiw)
+        # friction: combined mu = mu_i * mu_j (Bullet's combination rule)
+        mu = fric[i] * fric[j]
+        rel = (pos[i] - pos_prev[i]) - (pos[j] - pos_prev[j])
+        t_vec = rel - jnp.sum(rel * c_n, -1, keepdims=True) * c_n
+        t_len = jnp.linalg.norm(t_vec, axis=-1)
+        t_dir = t_vec / jnp.maximum(t_len, _EPS)[..., None]
+        corr = jnp.minimum(t_len, mu * depth)
+        corr = jnp.where(depth > 0, corr, 0.0)
+        pos, quat = _apply_position_corrections(
+            ps, pos, quat, i, j, t_dir, corr, r_a, r_b,
+            jnp.zeros_like(corr), scale, dt, iiw=iiw)
     # ground plane: depth shrinks as the body rises
     depth = g_depth0 - (pos[:, 1] - pos_detect[:, 1])
-    depth = jnp.where(has_floor, jnp.maximum(depth, 0.0), 0.0)
+    depth = jnp.where(cfg.has_floor, jnp.maximum(depth, 0.0), 0.0)
     dyn = inv_m > 0
     push = jnp.where(dyn, depth, 0.0)
     pos = pos.at[:, 1].add(push)
+    # ground friction (reference plane friction 0.265, mmd-bullet_impl.inl:88)
+    mu_g = fric * cfg.floor_friction
+    slide = (pos - pos_prev) * jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+    s_len = jnp.linalg.norm(slide, axis=-1)
+    s_dir = slide / jnp.maximum(s_len, _EPS)[..., None]
+    g_corr = jnp.minimum(s_len, mu_g * push)
+    g_corr = jnp.where((push > 0) & dyn, g_corr, 0.0)
+    pos = pos - s_dir * g_corr[..., None]
     return pos, quat
 
 
@@ -650,8 +685,8 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
         pos, quat = carry
         iiw = _inv_inertia_world(ps, quat)
         pos, quat = _joint_pass(ps, pos, quat, dt, iiw=iiw)
-        pos, quat = _contact_pass(ps, pos, quat, cfg.has_floor, dt, cache,
-                                  pos_detect, iiw=iiw)
+        pos, quat = _contact_pass(ps, pos, quat, cfg, dt, cache,
+                                  pos_detect, pos0, iiw=iiw)
         pos = jnp.where(dyn, pos, target_pos)
         quat = jnp.where(dyn, quat, target_quat)
         return pos, quat
@@ -663,6 +698,45 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
     dq = m3.quat_mul(quat, m3.quat_conj(quat0))
     sign = jnp.sign(dq[..., 3:4])
     omega_new = 2.0 * dq[..., :3] * sign / dt
+
+    # restitution (velocity level, after the position solve): outgoing normal
+    # velocity at active contacts is raised to -e * (incoming normal
+    # velocity), e combined multiplicatively like Bullet. A threshold of
+    # 2*g*dt suppresses resting-contact micro-bounce.
+    e_body = jnp.asarray(ps.restitution)
+    g_mag = jnp.linalg.norm(g) + _EPS
+    thresh = 2.0 * g_mag * dt
+    c_point, c_n, c_depth0, g_depth0 = cache
+    e_gnd = e_body * getattr(cfg, "floor_restitution", 0.0)
+    gv_in = vel[:, 1]                       # pre-solve approach velocity
+    g_active = (g_depth0 > 0) & (gv_in < -thresh) & (e_gnd > 0) & dyn[:, 0]
+    g_target = -e_gnd * gv_in
+    vel_new = vel_new.at[:, 1].set(
+        jnp.where(g_active, jnp.maximum(vel_new[:, 1], g_target),
+                  vel_new[:, 1]))
+    if len(ps.pair_i):
+        i = jnp.asarray(ps.pair_i)
+        j = jnp.asarray(ps.pair_j)
+        e_pair = e_body[i] * e_body[j]
+        v_in = jnp.sum(c_n * (vel[i] - vel[j]), -1)
+        active = (c_depth0 > 0) & (v_in < -thresh) & (e_pair > 0)
+        target = jnp.where(active, -e_pair * v_in, -jnp.inf)
+        w_i, w_j = inv_m[i], inv_m[j]
+        w_sum = jnp.maximum(w_i + w_j, _EPS)
+        pair_scale = 1.0 / jnp.asarray(ps.body_pair_count)
+
+        # Jacobi-averaged velocity corrections under-apply by the per-body
+        # pair count, so iterate: the residual deficit shrinks geometrically
+        def rest_iter(_, v):
+            v_out = jnp.sum(c_n * (v[i] - v[j]), -1)
+            deficit = jnp.maximum(target - v_out, 0.0)
+            dv = deficit[..., None] * c_n
+            v = v.at[i].add(dv * (w_i / w_sum * pair_scale[i])[..., None])
+            v = v.at[j].add(-dv * (w_j / w_sum * pair_scale[j])[..., None])
+            return v
+
+        vel_new = jax.lax.fori_loop(0, 4, rest_iter, vel_new)
+
     vel = jnp.where(dyn, vel_new, 0.0)
     omega = jnp.where(dyn, omega_new, 0.0)
     return PhysicsState(pos=pos, quat=quat, vel=vel, omega=omega)
@@ -676,28 +750,32 @@ def physics_react(static: ModelStatic, ps: PhysicsStatic, state: PhysicsState,
         return state, pose
     target_pos, target_quat = body_targets(ps, pose)
     sub_dt = 1.0 / cfg.substep_hz
-    n_sub = max(1, round(cfg.dt * cfg.substep_hz))
+    # stepSimulation(step, 60): substep count capped at max_substeps
+    # (mmd-bullet_impl.inl:313)
+    n_sub = min(max(1, round(cfg.dt * cfg.substep_hz)), cfg.max_substeps)
     state = jax.lax.fori_loop(
         0, n_sub,
         lambda _, s: physics_substep(ps, s, target_pos, target_quat, cfg,
                                      sub_dt),
         state)
 
-    # Synchronize: skin[bone] = W_body @ rest_frame^-1 for dynamic non-ghost
-    wb = jnp.asarray(ps.writeback)
-    rot = m3.quat_to_mat3(m3.quat_mul(state.quat,
-                                      m3.quat_conj(jnp.asarray(ps.rest_quat))))
-    trans = state.pos - jnp.einsum(
-        "rij,rj->ri", rot, jnp.asarray(ps.rest_pos))
-    skin_new = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
-                                rot.shape[:1] + (4, 4))
-    skin_new = skin_new.at[:, :3, :3].set(rot).at[:, :3, 3].set(trans)
-
-    bones = jnp.asarray(ps.bone)
-    skin = pose.skin
-    cur = skin[bones]
-    skin = skin.at[bones].set(jnp.where(wb[:, None, None], skin_new, cur))
-    pose = pose.replace(skin=skin)
+    # Synchronize: skin[bone] = W_body @ rest_frame^-1 for dynamic non-ghost.
+    # Scatter ONLY the writeback subset (host-static indices): scattering all
+    # rows would write duplicate bone indices (multiple bodies per bone,
+    # boneless bodies aliased to 0) with undefined XLA set-order. The
+    # writeback set holds at most one body per bone by construction.
+    wb_idx = np.nonzero(ps.writeback)[0]
+    if len(wb_idx):
+        rot = m3.quat_to_mat3(m3.quat_mul(
+            state.quat[wb_idx],
+            m3.quat_conj(jnp.asarray(ps.rest_quat[wb_idx]))))
+        trans = state.pos[wb_idx] - jnp.einsum(
+            "rij,rj->ri", rot, jnp.asarray(ps.rest_pos[wb_idx]))
+        skin_new = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                    rot.shape[:1] + (4, 4))
+        skin_new = skin_new.at[:, :3, :3].set(rot).at[:, :3, 3].set(trans)
+        pose = pose.replace(
+            skin=pose.skin.at[jnp.asarray(ps.bone[wb_idx])].set(skin_new))
 
     # Fix: strict bodies re-pin the bone translation (mmd-bullet_impl.inl:42-56)
     strict_ids = [i for i in range(ps.n_bodies)

@@ -40,9 +40,12 @@ class CameraArrays:
 def bind_camera(track: CameraTrack) -> CameraArrays:
     k = len(track.frames)
     interp = track.interp.astype(np.float32).reshape(k, 24) / 127.0
-    # channel c control points at bytes [c*4 .. c*4+3] = (c0x, c0y, c1x, c1y)
+    # channel c control points at bytes [c*4 .. c*4+3] = (c0.x, c1.x, c0.y,
+    # c1.y) — the per-channel byte order of the VMD camera section (MMD's
+    # default curve is bytes (20, 107, 20, 107), i.e. c0=(20,20) c1=(107,107),
+    # which must presample to the linear identity ramp)
     c = interp.reshape(k, 6, 4)
-    lut, _ = bezier.presample(c[..., 0:2], c[..., 2:4])  # [K,6,32]
+    lut, _ = bezier.presample(c[..., [0, 2]], c[..., [1, 3]])  # [K,6,32]
     return CameraArrays(
         frames=jnp.asarray(track.frames, jnp.float32),
         targets=jnp.asarray(track.positions),

@@ -26,6 +26,11 @@ def load_state(path: str, template):
     """Restore into the structure of `template` (a matching pytree)."""
     data = np.load(path)
     leaves, treedef = jax.tree.flatten(template)
+    saved_treedef = bytes(data["__treedef__"]).decode()
+    if saved_treedef != repr(treedef):
+        raise ValueError(
+            "checkpoint structure mismatch: saved pytree\n"
+            f"  {saved_treedef}\ndoes not match template\n  {repr(treedef)}")
     n = len(leaves)
     restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     for old, new in zip(leaves, restored):
@@ -33,4 +38,8 @@ def load_state(path: str, template):
             raise ValueError(
                 f"checkpoint shape mismatch: {jnp.shape(new)} vs "
                 f"{jnp.shape(old)}")
+        if jnp.result_type(old) != jnp.result_type(new):
+            raise ValueError(
+                f"checkpoint dtype mismatch: {jnp.result_type(new)} vs "
+                f"{jnp.result_type(old)}")
     return jax.tree.unflatten(treedef, restored)

@@ -12,12 +12,12 @@ from fixtures import two_bone_arm
 
 def _body(name, bone, shape=P.SHAPE_SPHERE, dims=(1.0, 0, 0), pos=(0, 10, 0),
           rot=(0, 0, 0), mass=1.0, btype=P.RIGID_PHYSICS, group=0,
-          mask=0xFFFF, damp=0.0):
+          mask=0xFFFF, damp=0.0, restitution=0.0, friction=0.5):
     return P.RigidBody(name, name, bone, group, mask, shape,
                        np.asarray(dims, np.float32),
                        np.asarray(pos, np.float32),
                        np.asarray(rot, np.float32),
-                       mass, damp, damp, 0.0, 0.5, btype)
+                       mass, damp, damp, restitution, friction, btype)
 
 
 def _joint(a, b, pos, lin_lo=(0, 0, 0), lin_hi=(0, 0, 0),
@@ -253,3 +253,102 @@ def test_sample_character_hair_hangs():
     assert np.isfinite(hp).all()
     assert hp[:, 1].max() < rest_top + 1.5, "hair climbed above its anchors"
     assert hp[:, 1].min() > 5.0, "hair fell through the body"
+
+
+def _slide_distance(friction, frames=45):
+    """Horizontal distance a sphere with initial +x velocity slides on the
+    floor before the measurement window ends."""
+    pm, static, ps, pose = _setup(
+        [_body("ball", -1, dims=(1.0, 0, 0), pos=(0, 1.0, 0), mask=0,
+               friction=friction)])
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose)
+    state = state.replace(vel=state.vel.at[0, 0].set(15.0))
+    step = _jit_react(static, ps, cfg)
+    for _ in range(frames):
+        state, pose = step(state, pose)
+    return float(state.pos[0, 0]), float(state.vel[0, 0])
+
+
+def test_floor_friction_coulomb():
+    """Sliding decelerates at ~mu*g (mu = body * floor per Bullet's combine),
+    so high-mu bodies stop and low-mu bodies keep sliding
+    (mmd-bullet_impl.inl:88, :195)."""
+    x_hi, v_hi = _slide_distance(friction=4.0)   # mu = 4.0 * 0.265 ~ 1.06
+    x_lo, v_lo = _slide_distance(friction=0.2)   # mu = 0.2 * 0.265 ~ 0.05
+    # mu*g decel: hi ~104/s^2 stops a 15 u/s slide in ~0.15 s (~1.1 u);
+    # lo ~5.2/s^2 barely slows it over 1.5 s (~17 u)
+    assert v_hi < 0.5, f"high-friction ball still sliding: v={v_hi}"
+    assert x_hi < 3.0, f"high-friction ball slid too far: x={x_hi}"
+    assert x_lo > 2.0 * x_hi, f"low-friction ball should slide farther: " \
+        f"{x_lo} vs {x_hi}"
+    assert v_lo > 5.0, f"low-friction ball decelerated too hard: v={v_lo}"
+
+
+def test_frictionless_floor_slides_freely():
+    pm, static, ps, pose = _setup(
+        [_body("ball", -1, dims=(1.0, 0, 0), pos=(0, 1.0, 0), mask=0,
+               friction=0.0)])
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose)
+    state = state.replace(vel=state.vel.at[0, 0].set(10.0))
+    step = _jit_react(static, ps, cfg)
+    for _ in range(30):
+        state, pose = step(state, pose)
+    # 1 second at 10 u/s, zero tangential resistance
+    assert abs(float(state.pos[0, 0]) - 10.0) < 0.5
+    assert abs(float(state.vel[0, 0]) - 10.0) < 0.5
+
+
+def test_floor_restitution_bounces():
+    """With floor restitution enabled a bouncy sphere rebounds to ~e^2 of the
+    drop height; with the reference's floor (restitution 0) it does not."""
+    def peak_after_bounce(floor_restitution):
+        pm, static, ps, pose = _setup(
+            [_body("ball", -1, dims=(1.0, 0, 0), pos=(0, 15.0, 0), mask=0,
+                   restitution=0.9)])
+        cfg = PhysicsConfig(floor_restitution=floor_restitution)
+        state = PH.physics_reset(ps, pose)
+        step = _jit_react(static, ps, cfg)
+        ys, touched = [], False
+        for _ in range(90):
+            state, pose = step(state, pose)
+            y = float(state.pos[0, 1])
+            touched = touched or y < 1.2
+            if touched:
+                ys.append(y)
+        return max(ys)
+
+    bouncy = peak_after_bounce(1.0)       # e = 0.9 * 1.0
+    dead = peak_after_bounce(0.0)         # the reference's ground
+    assert bouncy > 6.0, f"no rebound: peak {bouncy}"
+    assert dead < 2.0, f"restitution-0 floor rebounded: peak {dead}"
+
+
+def test_pair_restitution_bounces():
+    """Body-body restitution: a bouncy ball dropped on a heavy kinematic box
+    rebounds; a dead ball stays."""
+    def peak(rest):
+        bodies = [
+            _body("slab", 0, shape=P.SHAPE_BOX, dims=(4.0, 1.0, 4.0),
+                  pos=(0, 1.0, 0), btype=P.RIGID_KINEMATIC, mass=0.0,
+                  restitution=1.0),
+            _body("ball", -1, dims=(0.5, 0, 0), pos=(0, 10.0, 0), mass=1.0,
+                  restitution=rest),
+        ]
+        pm, static, ps, pose = _setup(bodies)
+        assert len(ps.pair_i) == 1
+        cfg = PhysicsConfig(has_floor=False)
+        state = PH.physics_reset(ps, pose)
+        step = _jit_react(static, ps, cfg)
+        ys, touched = [], False
+        for _ in range(90):
+            state, pose = step(state, pose)
+            y = float(state.pos[1, 1])
+            touched = touched or y < 3.0
+            if touched:
+                ys.append(y)
+        return max(ys)
+
+    assert peak(0.9) > 4.5, "bouncy ball did not rebound off the box"
+    assert peak(0.0) < 3.5, "dead ball rebounded"
