@@ -74,23 +74,46 @@ def main():
     print(f"# sanity: t={float(np.asarray(state.time)):.3f}s, "
           f"mean frame luma={cs.mean():.4f}", file=sys.stderr)
 
+    def secondary(label, scene_s, n):
+        roll_s = scene_s.jit_rollout(n, render=True)
+        st, cs = roll_s(scene_s.init_state())
+        np.asarray(cs)
+        t0 = time.time()
+        st, cs = roll_s(st)
+        np.asarray(cs)
+        f = n / (time.time() - t0)
+        print(f"# secondary: {f:.1f} fps {label}", file=sys.stderr)
+        return f
+
     if on_tpu:
-        # secondary context: the reference app's own operating point is a
-        # 1280x720 window (main.cpp:2502-2504)
+        # the reference app's own operating point: a 1280x720 window with
+        # 4x MSAA (main.cpp:2502-2504) — measured both without and WITH the
+        # supersampled MSAA emulation for an honest native-quality point
         cfg720 = AppConfig()
         cfg720.render = RenderConfig(width=1280, height=720,
                                      shadow_map_size=shadow,
                                      show_skybox=False)
-        scene720 = Scene(static, ps, mo, cfg720)
-        roll720 = scene720.jit_rollout(frames, render=True)
-        state7, cs = roll720(scene720.init_state())
-        np.asarray(cs)
-        t0 = time.time()
-        state7, cs = roll720(state7)
-        np.asarray(cs)
-        fps720 = frames / (time.time() - t0)
-        print(f"# secondary: {fps720:.1f} fps at the reference's native "
-              f"1280x720", file=sys.stderr)
+        secondary("at the reference's native 1280x720",
+                  Scene(static, ps, mo, cfg720), frames)
+
+        cfg_msaa = AppConfig()
+        cfg_msaa.render = RenderConfig(width=1280, height=720,
+                                       shadow_map_size=shadow,
+                                       show_skybox=False, msaa=4)
+        secondary("at 1280x720 with msaa=4 (reference native quality)",
+                  Scene(static, ps, mo, cfg_msaa), 30)
+
+        # textured path: per-part procedural textures through the shelf-
+        # packed atlas (the reference binds a texture per part,
+        # main.cpp:2093-2146)
+        from simple_mmd_renderer_tpu.app.sample import sample_textures
+        cfg_tex = AppConfig()
+        cfg_tex.render = RenderConfig(width=width, height=height,
+                                      shadow_map_size=shadow,
+                                      show_skybox=False)
+        secondary("textured (2-part atlas) at 1920x1080",
+                  Scene(static, ps, mo, cfg_tex,
+                        part_textures=sample_textures()), 30)
 
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu

@@ -149,6 +149,82 @@ def main():
         return (jnp.mean(sorted_rows) + jnp.mean(starts.astype(jnp.float32))
                 + jnp.mean(counts.astype(jnp.float32)))
 
+    def _bin_pieces(c, upto):
+        """Rebuild _bin step by step; upto selects how far to go."""
+        import jax.numpy as jnp
+        clip = raster.transform_clip(verts_m + c * 1e-20, mats["mvp"])
+        s = raster.setup(clip, tris, width, height, raster.CULL_BACK)
+        s["tris_v"] = tris
+        rows = tr._setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32),
+                              attrs)
+        tiles_x = -(-width // tr.TILE_W)
+        tiles_y = -(-height // tr.TILE_H)
+        n_tiles = tiles_x * tiles_y
+        xy = s["xy"]
+        valid = s["valid"]
+        xmin = jnp.clip(jnp.min(xy[:, :, 0], 1), 0.0, width - 1.0)
+        xmax = jnp.clip(jnp.max(xy[:, :, 0], 1), 0.0, width - 1.0)
+        ymin = jnp.clip(jnp.min(xy[:, :, 1], 1), 0.0, height - 1.0)
+        ymax = jnp.clip(jnp.max(xy[:, :, 1], 1), 0.0, height - 1.0)
+        tx0 = (xmin // tr.TILE_W).astype(jnp.int32)
+        tx1 = (xmax // tr.TILE_W).astype(jnp.int32)
+        ty0 = (ymin // tr.TILE_H).astype(jnp.int32)
+        ty1 = (ymax // tr.TILE_H).astype(jnp.int32)
+        bw = tx1 - tx0 + 1
+        n_cover = bw * (ty1 - ty0 + 1)
+        small = valid & (n_cover <= e_max)
+        e = jnp.arange(e_max, dtype=jnp.int32)[None, :]
+        bwc = jnp.clip(bw, 1, e_max)[:, None]
+        dx = e
+        dy = jnp.zeros_like(e)
+        for width_c in range(1, e_max + 1):
+            dxc = jnp.asarray([k % width_c for k in range(e_max)], jnp.int32)
+            dyc = jnp.asarray([k // width_c for k in range(e_max)], jnp.int32)
+            sel = bwc == width_c
+            dx = jnp.where(sel, dxc[None, :], dx)
+            dy = jnp.where(sel, dyc[None, :], dy)
+        tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+        mask = small[:, None] & (e < n_cover[:, None])
+        tile = jnp.where(mask, tile, n_tiles)
+        flat_tile = tile.reshape(-1)
+        if upto == "expand":
+            return jnp.mean(flat_tile.astype(jnp.float32))
+        t = tile.shape[0]
+        flat_tri = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[:, None], (t, e_max)).reshape(-1)
+        order = jnp.argsort(flat_tile, stable=True)
+        sorted_tile = flat_tile[order]
+        sorted_tri = flat_tri[order]
+        if upto == "sort":
+            return (jnp.mean(sorted_tile.astype(jnp.float32))
+                    + jnp.mean(sorted_tri.astype(jnp.float32)))
+        start = jnp.searchsorted(
+            sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        if upto == "starts":
+            return (jnp.mean(start.astype(jnp.float32))
+                    + jnp.mean(sorted_tri.astype(jnp.float32)))
+        sorted_rows = rows[sorted_tri]
+        lane_pad = (-rows.shape[1]) % 128
+        sorted_rows = jnp.pad(sorted_rows, ((0, k_max), (0, lane_pad)))
+        return jnp.mean(sorted_rows) + jnp.mean(start.astype(jnp.float32))
+
+    @stage("bin_expand")
+    def _(c):
+        return _bin_pieces(c, "expand")
+
+    @stage("bin_sort")
+    def _(c):
+        return _bin_pieces(c, "sort")
+
+    @stage("bin_starts")
+    def _(c):
+        return _bin_pieces(c, "starts")
+
+    @stage("bin_gather")
+    def _(c):
+        return _bin_pieces(c, "gather")
+
     @stage("char_raster_full")
     def _(c):
         clip = raster.transform_clip(verts_m + c * 1e-20, mats["mvp"])

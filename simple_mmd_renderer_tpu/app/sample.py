@@ -368,3 +368,24 @@ def sample_motion(length: int = 120, fps_keys: int = 5) -> V.VmdMotion:
         morphs.append(("まばたき", f, float(blink)))
     data = write_vmd("sample_dance", keys, morphs)
     return V.parse_vmd(data)
+
+
+def sample_textures(sizes=(1024, 256)) -> list[np.ndarray]:
+    """Procedural per-part diffuse textures for the sample character — one
+    per material part, deliberately different sizes so the shelf-packed
+    atlas path (render.pipeline._albedo_atlas) is exercised. The reference
+    binds a real texture per part (main.cpp:2093-2146); this is the
+    texture-benching stand-in for models whose textures ship as files."""
+    out = []
+    for p, size in enumerate(sizes):
+        ys = (np.arange(size, dtype=F) + 0.5) / size
+        xs = (np.arange(size, dtype=F) + 0.5) / size
+        yy = ys[:, None]
+        xx = xs[None, :]
+        checker = ((np.floor(xx * 16) + np.floor(yy * 16)) % 2).astype(F)
+        r = 0.92 - 0.28 * checker - 0.05 * p
+        g = 0.72 + 0.20 * xx * (1.0 - checker) + 0.05 * p
+        b = 0.82 - 0.30 * yy
+        out.append(np.clip(np.stack(np.broadcast_arrays(r, g, b), -1),
+                           0.0, 1.0).astype(F))
+    return out

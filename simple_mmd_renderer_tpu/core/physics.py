@@ -681,15 +681,20 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
     cache = (c_point, c_n, c_depth0, g_depth0)
     pos_detect = pos
 
+    # world inverse inertia once per substep (bodies rotate by ~omega*dt
+    # within a substep; the Jacobi solver is approximate at that scale
+    # anyway, and the recompute was ~1/3 of each iteration's cost)
+    iiw = _inv_inertia_world(ps, quat)
+
     def iteration(_, carry):
         pos, quat = carry
-        iiw = _inv_inertia_world(ps, quat)
         pos, quat = _joint_pass(ps, pos, quat, dt, iiw=iiw)
         pos, quat = _contact_pass(ps, pos, quat, cfg, dt, cache,
                                   pos_detect, pos0, iiw=iiw)
         pos = jnp.where(dyn, pos, target_pos)
         quat = jnp.where(dyn, quat, target_quat)
         return pos, quat
+
 
     pos, quat = jax.lax.fori_loop(0, cfg.solver_iterations, iteration,
                                   (pos, quat))

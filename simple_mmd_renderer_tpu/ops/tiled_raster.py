@@ -9,13 +9,17 @@ z-test, y-down screen, guard-band near clip) but organized for the hardware:
    sorted order so every tile's entries are CONTIGUOUS in HBM.
 2. Pallas kernel: one grid step per 32x128-pixel tile; the tile's entry
    window is DMA'd from HBM into VMEM in one sequential copy, then a
-   dynamic-trip fori_loop evaluates edge functions over the whole tile per
-   entry and updates depth/tri/attribute accumulators. Only the final tile
-   buffers are written to HBM.
+   dynamic-trip fori_loop updates depth/tri/attribute accumulators per
+   entry. Every interpolated quantity (barycentrics, z, attribute
+   numerators, 1/w denominator) is an affine function of pixel coords, so
+   setup bakes PLANE COEFFICIENTS into the rows and the kernel evaluates
+   each channel with 2 FMA (w0 comes free as 1 - w1 - w2). Only the final
+   tile buffers are written to HBM.
 3. `rasterize_attrs_tiled` additionally interpolates per-vertex attributes
-   perspective-correctly INSIDE the kernel: attributes (pre-multiplied by
-   1/w) ride the binned setup rows, so shading needs no random vertex
-   gathers at all — TPU gathers are the pathology this design removes.
+   perspective-correctly INSIDE the kernel: attribute numerator planes
+   (pre-multiplied by 1/w) ride the binned setup rows, so shading needs no
+   random vertex gathers at all — TPU gathers are the pathology this design
+   removes.
 4. Triangles bigger than E_MAX tiles (close-ups, the rare giant polygon) fall
    back to the exact scan rasterizer and merge by depth.
 
@@ -39,36 +43,66 @@ BASE_WIDTH = 16
 
 
 def _setup_rows(s, tri_ids, attrs=None):
-    """Pack per-triangle setup into [T, W] f32 rows.
+    """Pack per-triangle setup into [T, W] f32 rows of screen-space PLANE
+    coefficients, ANCHORED at vertex 0: every interpolated quantity is
+    affine in pixel coords, so the kernel evaluates each channel as
+    v0 + vx*(px-ax) + vy*(py-ay) (2 FMA after a shared dx/dy) instead of
+    edge functions from vertex coordinates. Anchoring makes the constant
+    term exact (w1(a) = w2(a) = 0, z(a) = z0), so precision matches the
+    edge-function form; w0 comes free as 1 - w1 - w2.
 
-    Base layout (16): xy0 xy1 xy2 (6), z0 z1 z2 (3), inv_area, valid, tri_id,
-    pad (4). With attrs [V,A]: per-vertex [inv_w, attrs*inv_w] blocks (3x(1+A))
-    appended, padded to a multiple of 8 lanes."""
+    Base layout (16 lanes): ax, ay, w1x, w1y, w2x, w2y, z0, zx, zy, valid,
+    tri_id, pad (5). With attrs [V,A]: den plane (3) + per-attr numerator
+    planes (3A) appended (den = sum w_i/w_clip_i, num_a = sum w_i a_i/w_i —
+    perspective-correct interpolation as in raster.interpolate), padded to a
+    multiple of 8 lanes."""
     xy = s["xy"]
     z = s["z"]
     inv_area = jnp.where(jnp.abs(s["area2"]) > 1e-12, 1.0 / s["area2"], 0.0)
+    ax, ay = xy[:, 0, 0], xy[:, 0, 1]
+    bx, by = xy[:, 1, 0], xy[:, 1, 1]
+    cx, cy = xy[:, 2, 0], xy[:, 2, 1]
+
+    # slopes of the barycentric planes (constants vanish at the anchor):
+    # w1 = e20/area has gradient ((cy-ay), (ax-cx))/area
+    w1x = (cy - ay) * inv_area
+    w1y = (ax - cx) * inv_area
+    # w2 = e01/area has gradient ((ay-by), (bx-ax))/area
+    w2x = (ay - by) * inv_area
+    w2y = (bx - ax) * inv_area
+
+    def combo(v0, v1, v2):
+        """Anchored plane of w0*v0 + w1*v1 + w2*v2 (w0 = 1 - w1 - w2):
+        value(a) = v0 exactly, slopes from the barycentric gradients."""
+        d1 = v1 - v0
+        d2 = v2 - v0
+        return (v0,
+                d1 * w1x + d2 * w2x,
+                d1 * w1y + d2 * w2y)
+
+    z0, zx, zy = combo(z[:, 0], z[:, 1], z[:, 2])
     cols = [
-        xy[:, 0, 0], xy[:, 0, 1], xy[:, 1, 0], xy[:, 1, 1],
-        xy[:, 2, 0], xy[:, 2, 1],
-        z[:, 0], z[:, 1], z[:, 2],
-        inv_area,
+        ax, ay, w1x, w1y, w2x, w2y, z0, zx, zy,
         s["valid"].astype(jnp.float32),
         tri_ids.astype(jnp.float32),
-        jnp.zeros_like(inv_area), jnp.zeros_like(inv_area),
-        jnp.zeros_like(inv_area), jnp.zeros_like(inv_area),
+        jnp.zeros_like(z0), jnp.zeros_like(z0),
+        jnp.zeros_like(z0), jnp.zeros_like(z0), jnp.zeros_like(z0),
     ]
     if attrs is not None:
-        va = attrs[s["tris_v"]]                  # [T,3,A]
-        assert attrs.shape[1] <= 37, "attr payload exceeds one 128-lane row"
+        assert attrs.shape[1] <= 36, "attr payload exceeds one 128-lane row"
+        va = s.get("va")
+        if va is None:
+            va = attrs[s["tris_v"]]              # [T,3,A]
         iw = s["inv_w"]                          # [T,3]
-        for k in range(3):
-            cols.append(iw[:, k])
-            for a in range(attrs.shape[1]):
-                cols.append(va[:, k, a] * iw[:, k])
+        cols.extend(combo(iw[:, 0], iw[:, 1], iw[:, 2]))
+        for a in range(attrs.shape[1]):
+            cols.extend(combo(va[:, 0, a] * iw[:, 0],
+                              va[:, 1, a] * iw[:, 1],
+                              va[:, 2, a] * iw[:, 2]))
     width = len(cols)
     pad = (-width) % 8
     for _ in range(pad):
-        cols.append(jnp.zeros_like(inv_area))
+        cols.append(jnp.zeros_like(z0))
     return jnp.stack(cols, axis=-1)
 
 
@@ -126,13 +160,22 @@ def _bin(s, rows, width, height, e_max, k_max):
     flat_tri = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, e_max)).reshape(-1)
 
-    order = jnp.argsort(flat_tile, stable=True)
-    sorted_tile = flat_tile[order]
-    sorted_tri = flat_tri[order]
-    # (a histogram+cumsum formulation is ~3x SLOWER here: scatter-add with
+    # sort ONE packed int32 key (tile << SHIFT | tri) instead of a stable
+    # (key, value) pair sort: keys are unique, so an unstable single-operand
+    # sort is both equivalent (tri in the low bits reproduces draw order for
+    # z-ties) and markedly cheaper — the pair sort + two permutation gathers
+    # was the most expensive piece of this whole pass.
+    # (a histogram+cumsum formulation is ~3x SLOWER still: scatter-add with
     # ~100k collisions into 2k bins serializes on TPU)
-    start = jnp.searchsorted(sorted_tile,
-                             jnp.arange(n_tiles + 1, dtype=jnp.int32),
+    shift = 18
+    assert t < (1 << shift), "triangle count exceeds packed sort key space"
+    assert n_tiles + 1 <= (1 << (31 - shift)), "tile count exceeds key space"
+    packed = jax.lax.sort(flat_tile * (1 << shift) + flat_tri,
+                          is_stable=False)
+    sorted_tri = packed & ((1 << shift) - 1)
+    start = jnp.searchsorted(packed,
+                             jnp.arange(n_tiles + 1, dtype=jnp.int32)
+                             * (1 << shift),
                              side="left").astype(jnp.int32)
     counts = jnp.minimum(start[1:] - start[:-1], k_max).astype(jnp.int32)
 
@@ -170,25 +213,19 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     def body(k, carry):
         depth, tri, b1v, b2v, num, den = carry
         srow = scratch[k, :]
-        ax, ay = srow[0], srow[1]
-        bx, by = srow[2], srow[3]
-        cx, cy = srow[4], srow[5]
-        z0, z1, z2 = srow[6], srow[7], srow[8]
-        inv_area = srow[9]
-        valid = srow[10] > 0.0
-        tid = srow[11].astype(jnp.int32)
+        dx = xs - srow[0]
+        dy = ys - srow[1]
 
-        def edge(px, py, qx, qy):
-            return (qx - px) * (ys - py) - (qy - py) * (xs - px)
+        def plane(base):
+            return srow[base] + srow[base + 1] * dx + srow[base + 2] * dy
 
-        e12 = edge(bx, by, cx, cy)
-        e20 = edge(cx, cy, ax, ay)
-        e01 = edge(ax, ay, bx, by)
-        w0 = e12 * inv_area
-        w1 = e20 * inv_area
-        w2 = e01 * inv_area
+        w1 = srow[2] * dx + srow[3] * dy
+        w2 = srow[4] * dx + srow[5] * dy
+        w0 = 1.0 - w1 - w2
+        zp = plane(6)
+        valid = srow[9] > 0.0
+        tid = srow[10].astype(jnp.int32)
         cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
-        zp = w0 * z0 + w1 * z1 + w2 * z2
         passed = cover & (zp <= depth) & (zp >= 0.0) & (zp <= 1.0)
         depth = jnp.where(passed, zp, depth)
         tri = jnp.where(passed, tid, tri)
@@ -196,18 +233,10 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         b2v = jnp.where(passed, w2, b2v)
 
         if n_attrs:
-            stride = 1 + n_attrs
-            iw0 = srow[BASE_WIDTH]
-            iw1 = srow[BASE_WIDTH + stride]
-            iw2 = srow[BASE_WIDTH + 2 * stride]
-            d = w0 * iw0 + w1 * iw1 + w2 * iw2
-            den = jnp.where(passed, d, den)
+            den = jnp.where(passed, plane(BASE_WIDTH), den)
             new_num = []
             for a in range(n_attrs):
-                a0 = srow[BASE_WIDTH + 1 + a]
-                a1 = srow[BASE_WIDTH + stride + 1 + a]
-                a2 = srow[BASE_WIDTH + 2 * stride + 1 + a]
-                v = w0 * a0 + w1 * a1 + w2 * a2
+                v = plane(BASE_WIDTH + 3 + 3 * a)
                 new_num.append(jnp.where(passed, v, num[a]))
             num = jnp.stack(new_num)
         return depth, tri, b1v, b2v, num, den
@@ -349,8 +378,11 @@ def rasterize_attrs_tiled(clip, tris, attrs, width, height,
 
     attrs: [V, A] per-vertex attributes. Returns (VisBuffer,
     attr_img [H, W, A]) with zeros on empty pixels."""
-    s = raster.setup(clip, tris, width, height, cull)
+    # fuse the clip and attribute vertex gathers into one [T,3,4+A] gather
+    g = jnp.concatenate([clip, attrs], -1)[tris]
+    s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4])
     s["tris_v"] = tris
+    s["va"] = g[..., 4:]
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
     sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
                                             k_max)

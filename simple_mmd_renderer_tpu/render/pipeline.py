@@ -58,6 +58,20 @@ def ground_geometry(size):
     return verts, tris
 
 
+def unproject_depth(depth, vp, width, height):
+    """[H,W] NDC depth -> [H,W,3] world positions through inv(vp) (the same
+    screen mapping as raster.screen_from_clip, inverted). Empty pixels
+    (depth 1.0) unproject to the far plane; callers mask by coverage."""
+    inv = jnp.linalg.inv(vp)
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    p = jnp.stack([jnp.broadcast_to(xs[None, :], depth.shape),
+                   jnp.broadcast_to(ys[:, None], depth.shape),
+                   depth, jnp.ones_like(depth)], -1) @ inv.T
+    return p[..., :3] / jnp.where(jnp.abs(p[..., 3:4]) > 1e-12,
+                                  p[..., 3:4], 1e-12)
+
+
 def ground_pass(cfg: RenderConfig, view, proj, width, height):
     """Analytic ray/plane ground raster: exactly the 50 m y=0 quad, but immune
     to near-plane clipping (the quad always crosses the near plane, which a
@@ -138,18 +152,44 @@ def character_albedo(static, vis, uv_px, part_textures):
     return albedo
 
 
-def _albedo_atlas(static, vis, uv_px, part_textures):
-    """Single-pass atlas sampling: textures stacked into [P, H, W, 3] (edge
-    padded), per-pixel part id from the triangle id, one bilinear lookup."""
+def _pack_atlas(part_textures):
+    """Shelf-pack per-part textures into ONE [H, W, 3] atlas (host side,
+    trace-time constant). Unlike a pad-to-max stack, memory is the sum of
+    texture areas (+shelf slack), so one 2048-square texture next to thirty
+    64-square ones no longer allocates 31 2048-square slots.
+
+    Returns (atlas, offsets [P,2] (y,x), sizes [P,2] (h,w))."""
     import numpy as np
     pn = len(part_textures)
-    max_h = max(t.shape[0] for t in part_textures)
-    max_w = max(t.shape[1] for t in part_textures)
-    atlas = np.zeros((pn, max_h, max_w, 3), np.float32)
-    sizes = np.zeros((pn, 2), np.float32)
+    sizes = np.array([(t.shape[0], t.shape[1]) for t in part_textures],
+                     np.int64)
+    atlas_w = max(int(sizes[:, 1].max()), 1)
+    order = np.argsort(-sizes[:, 0], kind="stable")  # tall shelves first
+    offsets = np.zeros((pn, 2), np.int64)
+    shelf_y, shelf_h, x = 0, 0, 0
+    for p in order:
+        h, w = int(sizes[p, 0]), int(sizes[p, 1])
+        if x + w > atlas_w:
+            shelf_y += shelf_h
+            x, shelf_h = 0, 0
+        offsets[p] = (shelf_y, x)
+        x += w
+        shelf_h = max(shelf_h, h)
+    atlas = np.zeros((shelf_y + shelf_h, atlas_w, 3), np.float32)
     for p, t in enumerate(part_textures):
-        atlas[p, :t.shape[0], :t.shape[1]] = t[..., :3]
-        sizes[p] = (t.shape[0], t.shape[1])
+        y0, x0 = offsets[p]
+        atlas[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t[..., :3]
+    return atlas, offsets.astype(np.float32), sizes.astype(np.float32)
+
+
+def _albedo_atlas(static, vis, uv_px, part_textures):
+    """Single-pass atlas sampling: all parts' textures shelf-packed into one
+    atlas, per-pixel part id from the triangle id, one bilinear lookup
+    (4 gathers/px total instead of 4 per part)."""
+    import numpy as np
+    pn = len(part_textures)
+    atlas, offsets, sizes = _pack_atlas(part_textures)
+    atlas_w = atlas.shape[1]
 
     # part id per pixel: first part whose range contains the triangle id
     bounds = np.asarray(static.part_base, np.int32)
@@ -159,6 +199,8 @@ def _albedo_atlas(static, vis, uv_px, part_textures):
 
     th = jnp.asarray(sizes[:, 0])[pid]
     tw = jnp.asarray(sizes[:, 1])[pid]
+    oy = jnp.asarray(offsets[:, 0].astype(np.int32))[pid]
+    ox = jnp.asarray(offsets[:, 1].astype(np.int32))[pid]
     u = uv_px[..., 0] * tw - 0.5
     v = uv_px[..., 1] * th - 0.5
     x0 = jnp.floor(u)
@@ -170,11 +212,10 @@ def _albedo_atlas(static, vis, uv_px, part_textures):
     flat = jnp.asarray(atlas).reshape(-1, 3)
 
     def tap(xi, yi):
-        # repeat wrap within the part's own extent
-        xm = jnp.mod(xi, jnp.maximum(tw.astype(jnp.int32), 1))
-        ym = jnp.mod(yi, jnp.maximum(th.astype(jnp.int32), 1))
-        idx = (pid * max_h + ym) * max_w + xm
-        return flat[idx]
+        # repeat wrap within the part's own extent, then shift into the atlas
+        xm = jnp.mod(xi, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
+        ym = jnp.mod(yi, jnp.maximum(th.astype(jnp.int32), 1)) + oy
+        return flat[ym * atlas_w + xm]
 
     c00 = tap(x0, y0)
     c10 = tap(x0 + 1, y0)
@@ -259,10 +300,15 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         ground_mask = jnp.zeros((height, width), bool)
         ground_depth = jnp.ones((height, width), jnp.float32)
 
-    # --- character
+    # --- character. World position is NOT interpolated: it is reconstructed
+    # by unprojecting the depth buffer through inv(proj @ view) — one fixed
+    # per-pixel cost instead of three per-entry attribute channels in the
+    # raster loop. UV channels ride along only when textures exist.
     clip = raster.transform_clip(verts_m, mats["mvp"])
-    attrs = jnp.concatenate(
-        [verts_m, jnp.asarray(normals), jnp.asarray(static.uvs)], -1)
+    attr_list = [jnp.asarray(normals)]
+    if part_textures is not None:
+        attr_list.append(jnp.asarray(static.uvs))
+    attrs = jnp.concatenate(attr_list, -1)
     if raster_fn is raster.rasterize:
         vis = raster_fn(clip, tris, width, height, raster.CULL_BACK)
         attr_px = raster.interpolate(vis, clip, tris, attrs)
@@ -272,12 +318,14 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                                              height, raster.CULL_BACK, 6, 192)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
-    world_px = attr_px[..., 0:3]
-    nrm_px = attr_px[..., 3:6]
-    uv_px = attr_px[..., 6:8]
+    world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],
+                               width, height)
+    nrm_px = attr_px[..., 0:3]
+    uv_px = attr_px[..., 3:5] if part_textures is not None else None
     if model_mat is not None:
+        # world_px is already post-model-transform (unprojected from the
+        # rendered depth); only normals need the normal-matrix correction
         mm = jnp.asarray(model_mat)
-        world_px = world_px @ mm[:3, :3].T + mm[:3, 3]
         nmat = jnp.linalg.inv(mm[:3, :3]).T
         nrm_px = nrm_px @ nmat.T
 

@@ -54,15 +54,17 @@ def screen_from_clip(clip, width, height):
     return jnp.stack([x, y], -1), ndc[..., 2], inv_w
 
 
-def setup(clip, tris, width, height, cull=CULL_BACK):
+def setup(clip, tris, width, height, cull=CULL_BACK, cv=None):
     """Per-triangle rasterization setup.
 
     Returns dict of [T,...] arrays: screen xy per vertex, z per vertex, 1/w per
     vertex, valid mask (in front of camera, non-degenerate, not culled).
-    Triangles crossing w<=0 are dropped (guard-band near clip)."""
+    Triangles crossing w<=0 are dropped (guard-band near clip). `cv` may pass
+    pre-gathered clip[tris] (callers fuse it with their attribute gather)."""
     # one gather of clip coords per triangle corner; the screen mapping is
     # recomputed on the gathered [T,3,4] (TPU gathers dominate, math is free)
-    cv = clip[tris]                               # [T,3,4]
+    if cv is None:
+        cv = clip[tris]                           # [T,3,4]
     xy, z, iw = screen_from_clip(cv, width, height)
     w_ok = jnp.all(cv[..., 3] > _W_EPS, axis=-1)
 

