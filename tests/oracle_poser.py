@@ -5,15 +5,61 @@ An independent, deliberately-slow reimplementation of the libmmd Poser pipeline
 the vectorized JAX implementation. Written in our column-vector convention
 (docs/CONVENTIONS.md); per-bone processing follows the reference order:
 (transform_level, index), pre/post-physics partition.
+
+Everything the oracle consumes is re-derived HERE from the raw PmxModel —
+bone topology, local offsets, append links, IK euler-order/fix-type
+classification (poser_impl.inl:30-105), Model::Normalize skinning demotion
+(model_impl.inl:405-452) — NOT taken from core.model.build_model, so a bug in
+the production rig-program derivation cannot hide from the golden tests.
 """
 
 import numpy as np
 
 from simple_mmd_renderer_tpu.formats import pmx as P
-from simple_mmd_renderer_tpu.core import model as M
 
 F = np.float32
 EPS = 1e-8
+# mmd_math_const_eps / pi (util/math.inl:24-25)
+REF_EPS = 1e-7
+HALF_PI = np.float32(np.pi * 0.5)
+
+# BoneImage::FIX_* / ORDER_* (motion/poser.inl)
+FIX_NONE, FIX_X, FIX_Y, FIX_Z, FIX_ALL = 0, 1, 2, 3, 4
+
+
+class OracleIK:
+    """IK program of one HAS_IK bone, classified per poser_impl.inl:60-105."""
+
+    def __init__(self, bone_idx: int, b: P.Bone):
+        self.bone = bone_idx
+        self.target = b.ik_target
+        self.loop = min(b.ik_loop, 256)      # poser_impl.inl:96
+        self.angle_limit = b.ik_angle
+        n = len(b.ik_links)
+        self.links = [l.bone for l in b.ik_links]
+        self.limited = [l.has_limit for l in b.ik_links]
+        self.limits_min = [np.minimum(l.lo, l.hi).astype(F) for l in b.ik_links]
+        self.limits_max = [np.maximum(l.lo, l.hi).astype(F) for l in b.ik_links]
+        self.orders = ["yzx"] * n
+        self.fix_types = [FIX_NONE] * n
+        for j, l in enumerate(b.ik_links):
+            if not l.has_limit:
+                continue
+            lmin, lmax = self.limits_min[j], self.limits_max[j]
+            if lmin[0] > -HALF_PI and lmax[0] < HALF_PI:
+                self.orders[j] = "zxy"
+            elif lmin[1] > -HALF_PI and lmax[1] < HALF_PI:
+                self.orders[j] = "xyz"
+            zero = [abs(lmin[k]) < REF_EPS and abs(lmax[k]) < REF_EPS
+                    for k in range(3)]
+            if zero[0] and zero[1] and zero[2]:
+                self.fix_types[j] = FIX_ALL
+            elif zero[1] and zero[2]:
+                self.fix_types[j] = FIX_X
+            elif zero[0] and zero[2]:
+                self.fix_types[j] = FIX_Y
+            elif zero[0] and zero[1]:
+                self.fix_types[j] = FIX_Z
 
 
 def qmul(a, b):
@@ -105,24 +151,85 @@ def euler_to_quat(e, order):
 class OraclePoser:
     def __init__(self, pm: P.PmxModel):
         self.pm = pm
-        self.static = M.build_model(pm)
-        st = self.static
-        self.B = st.n_bones
-        self.N = len(st.positions)
+        self.B = len(pm.bones)
+        self.N = len(pm.positions)
+        self.n_morphs = len(pm.morphs)
+
+        # --- bone topology from raw bones (poser_impl.inl:30-47)
+        self.bone_parent = np.array(
+            [b.parent if 0 <= b.parent < self.B else -1 for b in pm.bones],
+            np.int64)
+        self.bone_rest = np.stack([b.position for b in pm.bones]) \
+            if self.B else np.zeros((0, 3), F)
+        self.local_offset = np.stack([
+            (b.position - pm.bones[b.parent].position)
+            if 0 <= b.parent < self.B else b.position
+            for b in pm.bones]) if self.B else np.zeros((0, 3), F)
+        self.append_parent = np.full(self.B, -1, np.int64)
+        self.append_rotate = np.zeros(self.B, bool)
+        self.append_translate = np.zeros(self.B, bool)
+        self.append_ratio = np.zeros(self.B, F)
+        for i, b in enumerate(pm.bones):
+            ar = b.has(P.BONE_APPEND_ROTATE)
+            at = b.has(P.BONE_APPEND_TRANSLATE)
+            if (ar or at) and 0 <= b.append_parent < self.B:
+                self.append_parent[i] = b.append_parent
+                self.append_rotate[i] = ar
+                self.append_translate[i] = at
+                self.append_ratio[i] = b.append_ratio
+
+        # --- IK programs + link marking (poser_impl.inl:60-105)
+        self.ik_programs = {}
+        self.is_ik_link = np.zeros(self.B, bool)
+        for i, b in enumerate(pm.bones):
+            if b.has(P.BONE_HAS_IK):
+                ik = OracleIK(i, b)
+                self.ik_programs[i] = ik
+                for l in ik.links:
+                    self.is_ik_link[l] = True
+
+        # --- processing order: (transform_level, index), pre/post partition
         order_key = np.lexsort((np.arange(self.B),
                                 np.array([b.transform_level for b in pm.bones])))
-        self.pre_order = [i for i in order_key if not st.post_physics[i]]
-        self.post_order = [i for i in order_key if st.post_physics[i]]
-        self.ik_programs = {ik.bone: ik
-                            for s in st.pre_segments + st.post_segments
-                            if s.kind == "ik" for ik in s.iks}
+        post = [b.has(P.BONE_POST_PHYSICS) for b in pm.bones]
+        self.pre_order = [i for i in order_key if not post[i]]
+        self.post_order = [i for i in order_key if post[i]]
+
+        # --- skinning with Model::Normalize (model_impl.inl:405-452):
+        # BDEF2 weight 0/1 -> BDEF1; SDEF of non-parent-child bones -> BDEF1/2;
+        # deform treats SDEF like BDEF2 (poser_impl.inl:417-425 fallthrough)
+        self.skin_bones = np.zeros((self.N, 4), np.int64)
+        self.skin_weights = np.zeros((self.N, 4), F)
+        for i in range(self.N):
+            st_ = int(pm.skin_type[i])
+            bs = pm.skin_bones[i]
+            ws = pm.skin_weights[i]
+            if st_ == P.BDEF1:
+                self.skin_bones[i, 0] = max(bs[0], 0)
+                self.skin_weights[i, 0] = 1.0
+            elif st_ in (P.BDEF2, P.SDEF):
+                w = float(ws[0])
+                if w == 0.0:
+                    self.skin_bones[i, 0] = max(bs[1], 0)
+                    self.skin_weights[i, 0] = 1.0
+                elif w == 1.0:
+                    self.skin_bones[i, 0] = max(bs[0], 0)
+                    self.skin_weights[i, 0] = 1.0
+                else:
+                    self.skin_bones[i, :2] = np.maximum(bs[:2], 0)
+                    self.skin_weights[i, 0] = w
+                    self.skin_weights[i, 1] = 1.0 - w
+            else:  # BDEF4: weighted matrix sum, weights NOT renormalized
+                self.skin_bones[i] = np.maximum(bs, 0)
+                self.skin_weights[i] = ws
+
         self.reset()
 
     def reset(self):
         B, N = self.B, self.N
         self.rotation = np.tile(np.array([0, 0, 0, 1], F), (B, 1))
         self.translation = np.zeros((B, 3), F)
-        self.morph_rates = np.zeros(self.static.n_morphs, F)
+        self.morph_rates = np.zeros(self.n_morphs, F)
         self._clear_images()
         self.skin = np.tile(np.eye(4, dtype=F), (B, 1, 1))
 
@@ -165,41 +272,38 @@ class OraclePoser:
 
     # --- FK ---
     def _fk(self, i):
-        st = self.static
         self.total_rot[i] = qmul(self.morph_rot[i], self.rotation[i])
         self.total_trans[i] = self.morph_trans[i] + self.translation[i]
-        ap = st.append_parent[i]
+        ap = self.append_parent[i]
         if ap >= 0:
-            if st.append_rotate[i]:
+            if self.append_rotate[i]:
                 self.total_rot[i] = qmul(
                     self.total_rot[i],
                     slerp(np.array([0, 0, 0, 1], F), self.total_rot[ap],
-                          float(st.append_ratio[i])))
-            if st.append_translate[i]:
+                          float(self.append_ratio[i])))
+            if self.append_translate[i]:
                 self.total_trans[i] = (self.total_trans[i]
-                                       + st.append_ratio[i] * self.total_trans[ap])
-        if st.is_ik_link[i]:
+                                       + self.append_ratio[i] * self.total_trans[ap])
+        if self.is_ik_link[i]:
             self.pre_ik[i] = self.total_rot[i].copy()
             self.total_rot[i] = qmul(self.ik_rot[i], self.total_rot[i])
         local = np.eye(4, dtype=F)
         local[:3, :3] = qmat3(self.total_rot[i])
-        local[:3, 3] = self.total_trans[i] + st.local_offset[i]
-        p = st.bone_parent[i]
+        local[:3, 3] = self.total_trans[i] + self.local_offset[i]
+        p = self.bone_parent[i]
         self.world[i] = (self.world[p] @ local) if p >= 0 else local
         if i in self.ik_programs:
             self._solve_ik(self.ik_programs[i])
 
     def _refresh_link(self, b):
-        st = self.static
         self.total_rot[b] = qmul(self.ik_rot[b], self.pre_ik[b])
         local = np.eye(4, dtype=F)
         local[:3, :3] = qmat3(self.total_rot[b])
-        local[:3, 3] = self.total_trans[b] + st.local_offset[b]
-        p = st.bone_parent[b]
+        local[:3, 3] = self.total_trans[b] + self.local_offset[b]
+        p = self.bone_parent[b]
         self.world[b] = (self.world[p] @ local) if p >= 0 else local
 
-    def _solve_ik(self, ik: M.IKProgram):
-        st = self.static
+    def _solve_ik(self, ik: OracleIK):
         links = [int(x) for x in ik.links]
         for b in links:
             self.ik_rot[b] = np.array([0, 0, 0, 1], F)
@@ -214,7 +318,7 @@ class OraclePoser:
         ikt = ik.loop // 2
         for i in range(ik.loop):
             for j, b in enumerate(links):
-                if ik.fix_types[j] == M.FIX_ALL:
+                if ik.fix_types[j] == FIX_ALL:
                     continue
                 link_pos = self.world[b][:3, 3]
                 target_dir = link_pos - target_pos
@@ -225,10 +329,10 @@ class OraclePoser:
                 for k in range(3):
                     if abs(axis[k]) < EPS:
                         axis[k] = F(EPS)
-                p = st.bone_parent[b]
+                p = self.bone_parent[b]
                 loc = self.world[p] if p >= 0 else np.eye(4, dtype=F)
-                if ik.limited[j] and ik.fix_types[j] != M.FIX_NONE and i < ikt:
-                    k = {M.FIX_X: 0, M.FIX_Y: 1, M.FIX_Z: 2}[int(ik.fix_types[j])]
+                if ik.limited[j] and ik.fix_types[j] != FIX_NONE and i < ikt:
+                    k = {FIX_X: 0, FIX_Y: 1, FIX_Z: 2}[int(ik.fix_types[j])]
                     s = 1.0 if float(axis @ loc[:3, k]) >= 0 else -1.0
                     axis = np.zeros(3, F)
                     axis[k] = s
@@ -264,11 +368,11 @@ class OraclePoser:
         for i in order:
             self.skin[i] = self.world[i].copy()
             self.skin[i][:3, 3] = (self.world[i][:3, 3]
-                                   - self.world[i][:3, :3] @ self.static.bone_rest[i])
+                                   - self.world[i][:3, :3] @ self.bone_rest[i])
 
     def pre_physics(self):
         self._clear_images()
-        for i in range(self.static.n_morphs):
+        for i in range(self.n_morphs):
             self._apply_morph(i, float(self.morph_rates[i]))
         for i in self.pre_order:
             self._fk(i)
@@ -280,16 +384,15 @@ class OraclePoser:
         self._update_skin(self.post_order)
 
     def deform(self):
-        st = self.static
         pos = np.empty((self.N, 3), F)
         nrm = np.empty((self.N, 3), F)
         for i in range(self.N):
             m = np.zeros((4, 4), F)
             for k in range(4):
-                w = st.skin_weights[i, k]
+                w = self.skin_weights[i, k]
                 if w != 0.0:
-                    m += w * self.skin[st.skin_bones[i, k]]
-            p = st.positions[i] + self.vertex_offsets[i]
+                    m += w * self.skin[self.skin_bones[i, k]]
+            p = self.pm.positions[i] + self.vertex_offsets[i]
             pos[i] = m[:3, :3] @ p + m[:3, 3]
-            nrm[i] = m[:3, :3] @ st.normals[i]
+            nrm[i] = m[:3, :3] @ self.pm.normals[i]
         return pos, nrm

@@ -26,7 +26,7 @@ def run_oracle(pm, anim_rot, anim_trans, morph_rates):
     o = OraclePoser(pm)
     for i in range(o.B):
         o.set_bone_pose(i, anim_trans[i], anim_rot[i])
-    for i in range(o.static.n_morphs):
+    for i in range(o.n_morphs):
         o.set_morph(i, float(morph_rates[i]))
     o.pre_physics()
     o.post_physics()
