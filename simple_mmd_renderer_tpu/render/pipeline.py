@@ -127,13 +127,14 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
 
 def character_albedo(static, vis, uv_px, part_textures):
     """Per-part diffuse texture lookup (main.cpp:2093-2146: one draw + bind
-    per part). With multiple real textures, all parts sample a padded texture
-    atlas in ONE bilinear pass (4 gathers/px total instead of 4 per part —
-    TPU gathers dominate the cost)."""
+    per part). Any real texture routes through the packed-neighborhood atlas:
+    full bilinear from ONE gather per pixel — TPU gathers dominate the cost
+    (scripts/bench_gather.py). Flat-color-only parts keep the gather-free
+    broadcast path."""
     import numpy as np
     real = [p for p, t in enumerate(part_textures)
             if t.shape[0] > 1 or t.shape[1] > 1]
-    if len(real) >= 2:
+    if len(real) >= 1:
         return _albedo_atlas(static, vis, uv_px, part_textures)
 
     albedo = jnp.ones(vis.tri.shape + (3,), jnp.float32)
@@ -153,12 +154,16 @@ def character_albedo(static, vis, uv_px, part_textures):
 
 
 def _pack_atlas(part_textures):
-    """Shelf-pack per-part textures into ONE [H, W, 3] atlas (host side,
-    trace-time constant). Unlike a pad-to-max stack, memory is the sum of
-    texture areas (+shelf slack), so one 2048-square texture next to thirty
-    64-square ones no longer allocates 31 2048-square slots.
+    """Shelf-pack per-part textures into ONE [H, W, 12] PACKED atlas (host
+    side, trace-time constant): each texel row carries its own color plus
+    the +x, +y and +x+y neighbors (wrapped within the part, so repeat-wrap
+    bilinear stays exact at part edges). One gather then fetches all four
+    bilinear taps — measured on TPU, gather cost scales with gather COUNT
+    and row bytes, so 1 gather of bf16x12 beats 4 gathers of f32x3 by ~5x
+    (scripts/bench_gather.py). Unlike a pad-to-max stack, memory is the sum
+    of texture areas (+shelf slack).
 
-    Returns (atlas, offsets [P,2] (y,x), sizes [P,2] (h,w))."""
+    Returns (atlas [H,W,12] f32, offsets [P,2] (y,x), sizes [P,2] (h,w))."""
     import numpy as np
     pn = len(part_textures)
     sizes = np.array([(t.shape[0], t.shape[1]) for t in part_textures],
@@ -175,17 +180,22 @@ def _pack_atlas(part_textures):
         offsets[p] = (shelf_y, x)
         x += w
         shelf_h = max(shelf_h, h)
-    atlas = np.zeros((shelf_y + shelf_h, atlas_w, 3), np.float32)
+    atlas = np.zeros((shelf_y + shelf_h, atlas_w, 12), np.float32)
     for p, t in enumerate(part_textures):
         y0, x0 = offsets[p]
-        atlas[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t[..., :3]
+        t3 = np.asarray(t[..., :3], np.float32)
+        xr = np.roll(t3, -1, 1)          # +x neighbor, wrapped in-part
+        yr = np.roll(t3, -1, 0)          # +y
+        xyr = np.roll(xr, -1, 0)         # +x+y
+        atlas[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = np.concatenate(
+            [t3, xr, yr, xyr], -1)
     return atlas, offsets.astype(np.float32), sizes.astype(np.float32)
 
 
 def _albedo_atlas(static, vis, uv_px, part_textures):
     """Single-pass atlas sampling: all parts' textures shelf-packed into one
-    atlas, per-pixel part id from the triangle id, one bilinear lookup
-    (4 gathers/px total instead of 4 per part)."""
+    neighborhood-packed atlas, per-pixel part id from the triangle id, full
+    bilinear filtering from ONE bf16 gather per pixel."""
     import numpy as np
     pn = len(part_textures)
     atlas, offsets, sizes = _pack_atlas(part_textures)
@@ -205,25 +215,21 @@ def _albedo_atlas(static, vis, uv_px, part_textures):
     v = uv_px[..., 1] * th - 0.5
     x0 = jnp.floor(u)
     y0 = jnp.floor(v)
-    fx = (u - x0)[..., None]
-    fy = (v - y0)[..., None]
+    # bf16 weights/taps: texture sources are 8-bit (exact in bf16); the
+    # filtering error is below one color level
+    fx = (u - x0)[..., None].astype(jnp.bfloat16)
+    fy = (v - y0)[..., None].astype(jnp.bfloat16)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-    flat = jnp.asarray(atlas).reshape(-1, 3)
+    flat = jnp.asarray(atlas, jnp.bfloat16).reshape(-1, 12)
 
-    def tap(xi, yi):
-        # repeat wrap within the part's own extent, then shift into the atlas
-        xm = jnp.mod(xi, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
-        ym = jnp.mod(yi, jnp.maximum(th.astype(jnp.int32), 1)) + oy
-        return flat[ym * atlas_w + xm]
-
-    c00 = tap(x0, y0)
-    c10 = tap(x0 + 1, y0)
-    c01 = tap(x0, y0 + 1)
-    c11 = tap(x0 + 1, y0 + 1)
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
+    # repeat wrap within the part's own extent, then shift into the atlas
+    xm = jnp.mod(x0, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
+    ym = jnp.mod(y0, jnp.maximum(th.astype(jnp.int32), 1)) + oy
+    q = flat[ym * atlas_w + xm]          # [.., 12] = c00 c10 c01 c11
+    top = q[..., 0:3] * (1 - fx) + q[..., 3:6] * fx
+    bot = q[..., 6:9] * (1 - fx) + q[..., 9:12] * fx
+    return (top * (1 - fy) + bot * fy).astype(jnp.float32)
 
 
 def render_frame(static, positions_mmd, normals, cfg: RenderConfig,

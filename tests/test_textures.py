@@ -60,7 +60,9 @@ def test_atlas_matches_per_part():
         mask = (np.asarray(vis.tri) >= base) & (np.asarray(vis.tri) < base + count)
         col = np.asarray(sample_bilinear(textures[p], uv))
         ref[mask] = col[mask]
-    np.testing.assert_allclose(atlas_out, ref, atol=1e-5)
+    # the atlas path filters in bf16 (1-gather packed neighborhoods); the
+    # error bound is ~1 color level of 8-bit source data
+    np.testing.assert_allclose(atlas_out, ref, atol=2.5 / 255.0)
 
 
 def test_character_albedo_dispatches_to_atlas():
@@ -96,7 +98,8 @@ def test_shelf_atlas_packing_memory_and_placement():
         assert (h, w) == t.shape[:2]
         assert not seen[y:y + h, x:x + w].any()
         seen[y:y + h, x:x + w] = True
-        np.testing.assert_array_equal(atlas[y:y + h, x:x + w], t)
+        # channels 0:3 of the packed atlas are the texel's own color
+        np.testing.assert_array_equal(atlas[y:y + h, x:x + w, :3], t)
 
 
 def test_textured_sample_renders():
