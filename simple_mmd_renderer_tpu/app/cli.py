@@ -19,6 +19,30 @@ import time
 import numpy as np
 
 
+def ansi_frame(img: "np.ndarray", cols: int = 96) -> str:
+    """[H,W,3] float image -> 24-bit-color half-block (U+2580) terminal
+    frame: each character cell shows two vertical pixels (fg=upper,
+    bg=lower). This is the trivial host viewer SURVEY.md 2.5 leaves
+    optional — a live preview that works over any terminal, no window
+    system required."""
+    h, w = img.shape[:2]
+    rows = max(2, (int(cols * h / w * 0.5) // 2) * 2)
+    from PIL import Image
+    small = np.asarray(Image.fromarray(
+        (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)).resize(
+            (cols, rows), Image.BILINEAR), np.uint8)
+    lines = []
+    for y in range(0, rows, 2):
+        cells = []
+        for x in range(cols):
+            tr, tg, tb = small[y, x]
+            br, bg_, bb = small[y + 1, x]
+            cells.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                         f"\x1b[48;2;{br};{bg_};{bb}m▀")
+        lines.append("".join(cells) + "\x1b[0m")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("paths", nargs="*",
@@ -32,6 +56,11 @@ def main(argv=None):
     ap.add_argument("--gif", default=None, help="write an animated GIF")
     ap.add_argument("--use-camera", action="store_true",
                     help="drive the camera from the VMD camera track")
+    ap.add_argument("--watch", action="store_true",
+                    help="live ANSI preview in the terminal while rendering "
+                         "(the headless stand-in for the reference's window)")
+    ap.add_argument("--watch-cols", type=int, default=96,
+                    help="terminal preview width in character cells")
     ap.add_argument("--hdr", default=None, help="equirect .hdr environment")
     ap.add_argument("--no-physics", action="store_true")
     ap.add_argument("--no-shadows", action="store_true")
@@ -133,6 +162,12 @@ def main(argv=None):
                 pil.save(os.path.join(args.out, f"frame_{i:05d}.png"))
             if args.gif:
                 gif_frames.append(pil)
+        if args.watch:
+            # home the cursor and repaint in place (clear once up front)
+            prefix = "\x1b[2J\x1b[H" if i == 0 else "\x1b[H"
+            sys.stdout.write(prefix + ansi_frame(np.asarray(img),
+                                                 args.watch_cols) + "\n")
+            sys.stdout.flush()
 
     save(0, image)
     t0 = time.time()

@@ -106,9 +106,9 @@ def _setup_rows(s, tri_ids, attrs=None):
     return jnp.stack(cols, axis=-1)
 
 
-def _bin(s, rows, width, height, e_max, k_max):
-    """-> (sorted_rows [T*E + K pad, W], starts [n_tiles], counts [n_tiles],
-    big_mask [T]).
+def _bin(s, rows, width, height, e_max, chunk):
+    """-> (sorted_rows [T*E + chunk pad, W], starts [n_tiles],
+    counts [n_tiles], big_mask [T]).
 
     Entries are sorted by tile (stable, preserving draw order) and the ROWS
     are gathered into that order, so each tile's entries are contiguous: the
@@ -177,23 +177,25 @@ def _bin(s, rows, width, height, e_max, k_max):
                              jnp.arange(n_tiles + 1, dtype=jnp.int32)
                              * (1 << shift),
                              side="left").astype(jnp.int32)
-    counts = jnp.minimum(start[1:] - start[:-1], k_max).astype(jnp.int32)
+    # counts are UNCAPPED: the kernel streams a tile's entries in chunks,
+    # so a dense tile never silently drops geometry
+    counts = (start[1:] - start[:-1]).astype(jnp.int32)
 
     # gather rows NARROW (random row gathers cost ~3x more at 128 lanes),
     # then zero-pad the lane dim to 128 with a cheap sequential write: the
     # kernel's HBM->VMEM DMA slice requires 128-aligned lanes. Rows are also
-    # padded by k_max so every [start, start+k_max) window is in bounds;
-    # entries past a tile's segment belong to other tiles but the
-    # count-bounded loop never reads them.
+    # padded by one chunk so every chunk window is in bounds; entries past a
+    # tile's segment belong to other tiles but the count-bounded loop never
+    # reads them.
     sorted_rows = rows[sorted_tri]
     lane_pad = (-rows.shape[1]) % 128
-    sorted_rows = jnp.pad(sorted_rows, ((0, k_max), (0, lane_pad)))
+    sorted_rows = jnp.pad(sorted_rows, ((0, chunk), (0, lane_pad)))
     return sorted_rows, start[:n_tiles], counts, big
 
 
 def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
                    b1_ref, b2_ref, attr_ref, scratch, sem, *, tiles_x,
-                   n_attrs, k_max):
+                   n_attrs, chunk):
     i = pl.program_id(0)
     ty = i // tiles_x
     tx = i % tiles_x
@@ -204,15 +206,26 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
         jnp.float32) + (x0 + 0.5)
 
-    # this tile's entries are contiguous in HBM: one sequential DMA
-    dma = pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(starts_ref[i], k_max), :], scratch, sem)
-    dma.start()
-    dma.wait()
+    # this tile's entries are contiguous in HBM and streamed through VMEM in
+    # double-buffered chunks: per-tile capacity is UNBOUNDED (dense tiles
+    # never drop geometry) and DMA traffic is proportional to the tile's
+    # actual entry count, with the next chunk's copy overlapping compute
+    count = counts_ref[i]
+    start = starts_ref[i]
+    n_chunks = (count + chunk - 1) // chunk
 
-    def body(k, carry):
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * chunk, chunk), :],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def body(k, slot, carry):
         depth, tri, b1v, b2v, num, den = carry
-        srow = scratch[k, :]
+        srow = scratch[slot, k, :]
         dx = xs - srow[0]
         dy = ys - srow[1]
 
@@ -248,8 +261,21 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
             jnp.zeros((na, TILE_H, TILE_W), jnp.float32),
             jnp.ones((TILE_H, TILE_W), jnp.float32))
+
+    def chunk_body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        n_here = jnp.minimum(chunk, count - c * chunk)
+        return jax.lax.fori_loop(
+            0, n_here, lambda k, cr: body(k, slot, cr), carry)
+
     depth, tri, b1v, b2v, num, den = jax.lax.fori_loop(
-        0, counts_ref[i], body, init)
+        0, n_chunks, chunk_body, init)
     depth_ref[...] = depth
     tri_ref[...] = tri
     b1_ref[...] = b1v
@@ -265,7 +291,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, k_max):
+def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, chunk):
     pad_w = -(-width // TILE_W) * TILE_W
     pad_h = -(-height // TILE_H) * TILE_H
     tiles_x = pad_w // TILE_W
@@ -289,13 +315,13 @@ def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, k_max):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k_max, row_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, chunk, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     depth, tri, b1, b2, attr = pl.pallas_call(
         partial(_raster_kernel, tiles_x=tiles_x, n_attrs=n_attrs,
-                k_max=k_max),
+                chunk=chunk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
@@ -358,14 +384,17 @@ def _merge_big(vis, attr, clip, tris, width, height, s, big, attrs):
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
-                    e_max=9, k_max=256) -> raster.VisBuffer:
-    """Binned-tile rasterization; semantics match raster.rasterize."""
+                    e_max=9, chunk=256) -> raster.VisBuffer:
+    """Binned-tile rasterization; semantics match raster.rasterize.
+
+    `chunk` is the VMEM streaming unit, not a capacity: tiles with any
+    number of entries render exactly."""
     s = raster.setup(clip, tris, width, height, cull)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
     sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
-                                            k_max)
+                                            chunk)
     vis, _ = _run_kernel(sorted_rows, starts, counts, width, height, 0,
-                         k_max)
+                         chunk)
     vis, _ = _merge_big(vis, jnp.zeros((1, height, width), jnp.float32),
                         clip, tris, width, height, s, big, None)
     return vis
@@ -373,7 +402,7 @@ def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def rasterize_attrs_tiled(clip, tris, attrs, width, height,
-                          cull=raster.CULL_BACK, e_max=9, k_max=256):
+                          cull=raster.CULL_BACK, e_max=9, chunk=256):
     """Raster + in-kernel perspective-correct attribute interpolation.
 
     attrs: [V, A] per-vertex attributes. Returns (VisBuffer,
@@ -385,14 +414,36 @@ def rasterize_attrs_tiled(clip, tris, attrs, width, height,
     s["va"] = g[..., 4:]
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
     sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
-                                            k_max)
+                                            chunk)
     vis, attr = _run_kernel(sorted_rows, starts, counts, width, height,
-                            attrs.shape[1], k_max)
+                            attrs.shape[1], chunk)
     vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
                            attrs)
     attr = jnp.moveaxis(attr, 0, -1)
     attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
     return vis, attr
+
+
+def binning_stats(clip, tris, width, height, cull=raster.CULL_BACK,
+                  e_max=6, chunk=256):
+    """Binning diagnostics for a scene at given raster parameters.
+
+    Per-tile capacity is unbounded (the kernel streams chunks), so the only
+    remaining drop cliff is BIG_TRI_CAP for triangles spanning more than
+    e_max tiles; max_tile_entries is the dense-tile cost driver. Returns
+    dict(max_tile_entries, total_entries, n_big, big_capacity,
+    big_dropped)."""
+    s = raster.setup(clip, tris, width, height, cull)
+    rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
+    _, starts, counts, big = _bin(s, rows, width, height, e_max, chunk)
+    n_big = int(jnp.sum(big))
+    return dict(
+        max_tile_entries=int(jnp.max(counts)),
+        total_entries=int(jnp.sum(counts)),
+        n_big=n_big,
+        big_capacity=int(BIG_TRI_CAP),
+        big_dropped=max(0, n_big - BIG_TRI_CAP),
+    )
 
 
 def _scan_subset(clip, tris, width, height, s):

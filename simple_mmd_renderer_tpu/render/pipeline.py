@@ -116,10 +116,8 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
     raster_fn = raster_fn or raster.rasterize
     clip = raster.transform_clip(verts_m, light_mvp)
     if raster_fn is not raster.rasterize:
-        # depth-only: small bins are plenty (oversized tris hit the bounded
-        # exact fallback)
         vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT,
-                        6, 128)
+                        6, 256)
     else:
         vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
     return vis.depth
@@ -321,7 +319,7 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     else:
         from ..ops.tiled_raster import rasterize_attrs_tiled
         vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
-                                             height, raster.CULL_BACK, 6, 192)
+                                             height, raster.CULL_BACK, 6, 256)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],

@@ -78,7 +78,19 @@ def setup(clip, tris, width, height, cull=CULL_BACK, cv=None):
         face_ok = area2 > 0.0
     else:
         face_ok = jnp.abs(area2) > 0.0
-    valid = w_ok & face_ok & (jnp.abs(area2) > 1e-12)
+
+    # sample-point cull (exact): pixel centers sit at integer+0.5, so a
+    # triangle whose bbox straddles no center in x or y can never produce
+    # coverage. Dense meshes are full of such sub-sample triangles — this
+    # keeps them out of the per-tile entry lists entirely.
+    xmin = jnp.min(xy[..., 0], -1)
+    xmax = jnp.max(xy[..., 0], -1)
+    ymin = jnp.min(xy[..., 1], -1)
+    ymax = jnp.max(xy[..., 1], -1)
+    hits_sample = ((jnp.ceil(xmin - 0.5) <= jnp.floor(xmax - 0.5))
+                   & (jnp.ceil(ymin - 0.5) <= jnp.floor(ymax - 0.5)))
+
+    valid = w_ok & face_ok & (jnp.abs(area2) > 1e-12) & hits_sample
     return dict(xy=xy, z=z, inv_w=iw, area2=area2, valid=valid)
 
 

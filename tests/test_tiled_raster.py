@@ -89,3 +89,49 @@ def test_tiled_tuned_params_match_scan():
     got = tiled_raster.rasterize_tiled(clip, tris, w, h, raster.CULL_NONE,
                                        6, 128)
     _assert_vis_equal(got, ref)
+
+
+def test_binning_stats_reports_overflow_headroom():
+    rng = np.random.default_rng(11)
+    clip, tris = _random_mesh(rng, t=150)
+    stats = tiled_raster.binning_stats(clip, tris, 256, 128,
+                                       raster.CULL_NONE, 6, 128)
+    assert stats["big_dropped"] == 0
+    assert stats["total_entries"] >= stats["max_tile_entries"] > 0
+
+
+def test_dense_tile_exceeding_chunk_renders_exactly():
+    """Per-tile capacity is unbounded: a tile with far more entries than the
+    streaming chunk must match the scan raster exactly (round 1 silently
+    dropped the excess)."""
+    rng = np.random.default_rng(12)
+    clip, tris = _random_mesh(rng, t=500, spread=0.05, size=0.08)
+    w, h = 128, 64
+    stats = tiled_raster.binning_stats(clip, tris, w, h, raster.CULL_NONE,
+                                       6, 32)
+    assert stats["max_tile_entries"] > 32, "scene must overload the chunk"
+    ref = raster.rasterize(clip, tris, w, h, raster.CULL_NONE)
+    got = tiled_raster.rasterize_tiled(clip, tris, w, h, raster.CULL_NONE,
+                                       6, 32)
+    _assert_vis_equal(got, ref)
+
+
+def test_bench_scene_has_binning_headroom():
+    """The flagship sample scene must not silently drop triangles at the
+    pipeline's tuned raster parameters (ADVICE r1: overflow was invisible)."""
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.app.sample import sample_character
+    from simple_mmd_renderer_tpu.core import model as M
+    from simple_mmd_renderer_tpu.render.pipeline import build_matrices
+    from simple_mmd_renderer_tpu.config import RenderConfig
+
+    pm = sample_character(density=0.5)
+    static = M.build_model(pm)
+    cfg = RenderConfig(width=640, height=360)
+    mats = build_matrices(cfg, aspect=640 / 360)
+    verts = jnp.asarray(static.positions) * cfg.mmd_to_meter
+    tris = jnp.asarray(static.triangles)[:, ::-1]
+    clip = raster.transform_clip(verts, mats["mvp"])
+    stats = tiled_raster.binning_stats(clip, tris, 640, 360,
+                                       raster.CULL_BACK, 6, 192)
+    assert stats["big_dropped"] == 0, stats
