@@ -90,6 +90,15 @@ class PhysicsStatic:
     j_k_ang: np.ndarray       # [C,3]
     body_joint_count: np.ndarray  # [R] joints touching each body (Jacobi avg)
     body_pair_count: np.ndarray   # [R] candidate contacts per body
+    # static incidence matrices: row aggregation as dense matmuls. TPU
+    # scatter-add with duplicate indices serializes (the solver's dominant
+    # cost); constraint topology is static, so S[r, k] = count_scale[r] when
+    # row k touches body r turns every Jacobi accumulation into one
+    # [R, K] @ [K, 3] MXU matmul.
+    s_joint_a: np.ndarray     # [R, 6C] (count-scaled, joint row -> body a)
+    s_joint_b: np.ndarray     # [R, 6C]
+    s_pair_a: np.ndarray      # [R, Pn]
+    s_pair_b: np.ndarray      # [R, Pn]
 
 
 @struct.dataclass
@@ -256,6 +265,18 @@ def build_physics(static: ModelStatic) -> PhysicsStatic:
         body_pair_count[a] += 1
         body_pair_count[b] += 1
 
+    def incidence(idx, count):
+        s = np.zeros((r, len(idx)), np.float32)
+        s[idx, np.arange(len(idx))] = 1.0 / count[idx]
+        return s
+
+    # joint rows are laid out axis-major then (hard, spring):
+    # [x*C, y*C, z*C] twice — matching _joint_pass's rows3/tile order
+    idx6_a = np.tile(np.tile(j_a, 3), 2)
+    idx6_b = np.tile(np.tile(j_b, 3), 2)
+    pi_arr = np.asarray(pi, np.int32)
+    pj_arr = np.asarray(pj, np.int32)
+
     return PhysicsStatic(
         n_bodies=r, n_joints=c, bone=bone, has_bone=has_bone, kinematic=kin,
         strict=strict, ghost=ghost, shape=shape, dims=dims, inv_mass=inv_mass,
@@ -263,11 +284,15 @@ def build_physics(static: ModelStatic) -> PhysicsStatic:
         friction=friction, restitution=restitution,
         rest_quat=rest_quat, rest_pos=rest_pos,
         writeback=writeback,
-        pair_i=np.asarray(pi, np.int32), pair_j=np.asarray(pj, np.int32),
+        pair_i=pi_arr, pair_j=pj_arr,
         j_a=j_a, j_b=j_b, j_qa=j_qa, j_ta=j_ta, j_qb=j_qb, j_tb=j_tb,
         j_lin_lo=j_lin_lo, j_lin_hi=j_lin_hi, j_ang_lo=j_ang_lo,
         j_ang_hi=j_ang_hi, j_k_lin=j_k_lin, j_k_ang=j_k_ang,
-        body_joint_count=body_joint_count, body_pair_count=body_pair_count)
+        body_joint_count=body_joint_count, body_pair_count=body_pair_count,
+        s_joint_a=incidence(idx6_a, body_joint_count),
+        s_joint_b=incidence(idx6_b, body_joint_count),
+        s_pair_a=incidence(pi_arr, body_pair_count),
+        s_pair_b=incidence(pj_arr, body_pair_count))
 
 
 # ---------------------------------------------------------------------------
@@ -465,15 +490,20 @@ def _inv_inertia_world(ps, quat):
 
 
 def _apply_position_corrections(ps, pos, quat, idx_a, idx_b, n, c, r_a, r_b,
-                                alpha, count_scale, dt, iiw=None):
+                                alpha, scat, dt, iiw=None):
     """Batched XPBD positional constraint projection with Jacobi averaging.
 
     For each row k: bodies (a,b), world direction n, violation c (positive =
     must separate along +n for a), anchors r (world, from body origin).
-    `iiw` (world inverse inertia) may be precomputed per iteration."""
+    `iiw` (world inverse inertia) may be precomputed per iteration.
+    `scat` = (S_a [R,K], S_b [R,K]) count-scaled static incidence matrices:
+    per-body accumulation is a dense matmul, not a scatter-add (TPU
+    scatter-add with duplicate indices serializes and dominated the solver).
+    """
     inv_m = jnp.asarray(ps.inv_mass)
     if iiw is None:
         iiw = _inv_inertia_world(ps, quat)
+    s_a, s_b = scat
 
     ra_x_n = jnp.cross(r_a, n)
     rb_x_n = jnp.cross(r_b, n)
@@ -488,16 +518,12 @@ def _apply_position_corrections(ps, pos, quat, idx_a, idx_b, n, c, r_a, r_b,
     dw_a = jnp.einsum("kij,kj->ki", iiw[idx_a], jnp.cross(r_a, p))
     dw_b = -jnp.einsum("kij,kj->ki", iiw[idx_b], jnp.cross(r_b, p))
 
-    scale_a = count_scale[idx_a][..., None]
-    scale_b = count_scale[idx_b][..., None]
-    pos = pos.at[idx_a].add(dpos_a * scale_a)
-    pos = pos.at[idx_b].add(dpos_b * scale_b)
-
-    # rotational update accumulated as world-space small rotations
-    rot_acc = jnp.zeros_like(pos)
-    rot_acc = rot_acc.at[idx_a].add(dw_a * scale_a)
-    rot_acc = rot_acc.at[idx_b].add(dw_b * scale_b)
-    quat = _apply_small_rotation(quat, rot_acc)
+    # one [R,K]@[K,6] matmul aggregates both the translational and the
+    # rotational row contributions
+    acc = s_a @ jnp.concatenate([dpos_a, dw_a], -1) \
+        + s_b @ jnp.concatenate([dpos_b, dw_b], -1)
+    pos = pos + acc[:, :3]
+    quat = _apply_small_rotation(quat, acc[:, 3:])
     return pos, quat
 
 
@@ -507,9 +533,10 @@ def _apply_small_rotation(quat, w):
 
 
 def _apply_angular_corrections(ps, quat, idx_a, idx_b, axis, c, alpha,
-                               count_scale, dt, iiw=None):
+                               scat, dt, iiw=None):
     if iiw is None:
         iiw = _inv_inertia_world(ps, quat)
+    s_a, s_b = scat
     w_a = jnp.einsum("ki,kij,kj->k", axis, iiw[idx_a], axis)
     w_b = jnp.einsum("ki,kij,kj->k", axis, iiw[idx_b], axis)
     denom = w_a + w_b + alpha / (dt * dt)
@@ -517,9 +544,7 @@ def _apply_angular_corrections(ps, quat, idx_a, idx_b, axis, c, alpha,
     p = lam[..., None] * axis
     dw_a = jnp.einsum("kij,kj->ki", iiw[idx_a], p)
     dw_b = -jnp.einsum("kij,kj->ki", iiw[idx_b], p)
-    rot_acc = jnp.zeros_like(quat[..., :3])
-    rot_acc = rot_acc.at[idx_a].add(dw_a * count_scale[idx_a][..., None])
-    rot_acc = rot_acc.at[idx_b].add(dw_b * count_scale[idx_b][..., None])
+    rot_acc = s_a @ dw_a + s_b @ dw_b
     return _apply_small_rotation(quat, rot_acc)
 
 
@@ -530,7 +555,7 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt, iiw=None):
         return pos, quat
     a = jnp.asarray(ps.j_a)
     b = jnp.asarray(ps.j_b)
-    scale = 1.0 / jnp.asarray(ps.body_joint_count)
+    scat = (jnp.asarray(ps.s_joint_a), jnp.asarray(ps.s_joint_b))
 
     qa = m3.quat_mul(quat[a], jnp.asarray(ps.j_qa))   # constraint frame (A)
     qb = m3.quat_mul(quat[b], jnp.asarray(ps.j_qb))
@@ -574,7 +599,7 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt, iiw=None):
                                                  r_a.shape[:1] + (3, 3))), (2, 1)),
         jnp.tile(rows3v(jnp.broadcast_to(r_b[:, None, :],
                                          r_b.shape[:1] + (3, 3))), (2, 1)),
-        alpha_rows, scale, dt, iiw=iiw)
+        alpha_rows, scat, dt, iiw=iiw)
 
     # angular: relative rotation decomposed on the A-frame axes (XYZ euler,
     # like Bullet's 6dof)
@@ -596,7 +621,7 @@ def _joint_pass(ps: PhysicsStatic, pos, quat, dt, iiw=None):
         jnp.concatenate([-rows3(aviol), -rows3(aspring_viol)]),
         jnp.concatenate([jnp.zeros(3 * ps.n_joints, jnp.float32),
                          rows3(aalpha)]),
-        scale, dt, iiw=iiw)
+        scat, dt, iiw=iiw)
     return pos, quat
 
 
@@ -618,12 +643,12 @@ def _contact_pass(ps: PhysicsStatic, pos, quat, cfg, dt, cache,
         moved = jnp.sum(c_n * ((pos[i] - pos_detect[i])
                                - (pos[j] - pos_detect[j])), -1)
         depth = jnp.maximum(c_depth0 - moved, 0.0)
-        scale = 1.0 / jnp.asarray(ps.body_pair_count)
+        scat = (jnp.asarray(ps.s_pair_a), jnp.asarray(ps.s_pair_b))
         r_a = c_point - pos[i]
         r_b = c_point - pos[j]
         pos, quat = _apply_position_corrections(
             ps, pos, quat, i, j, c_n, -depth, r_a, r_b,
-            jnp.zeros_like(depth), scale, dt, iiw=iiw)
+            jnp.zeros_like(depth), scat, dt, iiw=iiw)
         # friction: combined mu = mu_i * mu_j (Bullet's combination rule)
         mu = fric[i] * fric[j]
         rel = (pos[i] - pos_prev[i]) - (pos[j] - pos_prev[j])
@@ -634,7 +659,7 @@ def _contact_pass(ps: PhysicsStatic, pos, quat, cfg, dt, cache,
         corr = jnp.where(depth > 0, corr, 0.0)
         pos, quat = _apply_position_corrections(
             ps, pos, quat, i, j, t_dir, corr, r_a, r_b,
-            jnp.zeros_like(corr), scale, dt, iiw=iiw)
+            jnp.zeros_like(corr), scat, dt, iiw=iiw)
     # ground plane: depth shrinks as the body rises
     depth = g_depth0 - (pos[:, 1] - pos_detect[:, 1])
     depth = jnp.where(cfg.has_floor, jnp.maximum(depth, 0.0), 0.0)
@@ -728,7 +753,8 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
         target = jnp.where(active, -e_pair * v_in, -jnp.inf)
         w_i, w_j = inv_m[i], inv_m[j]
         w_sum = jnp.maximum(w_i + w_j, _EPS)
-        pair_scale = 1.0 / jnp.asarray(ps.body_pair_count)
+        s_pa = jnp.asarray(ps.s_pair_a)
+        s_pb = jnp.asarray(ps.s_pair_b)
 
         # Jacobi-averaged velocity corrections under-apply by the per-body
         # pair count, so iterate: the residual deficit shrinks geometrically
@@ -736,9 +762,8 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
             v_out = jnp.sum(c_n * (v[i] - v[j]), -1)
             deficit = jnp.maximum(target - v_out, 0.0)
             dv = deficit[..., None] * c_n
-            v = v.at[i].add(dv * (w_i / w_sum * pair_scale[i])[..., None])
-            v = v.at[j].add(-dv * (w_j / w_sum * pair_scale[j])[..., None])
-            return v
+            return (v + s_pa @ (dv * (w_i / w_sum)[..., None])
+                    - s_pb @ (dv * (w_j / w_sum)[..., None]))
 
         vel_new = jax.lax.fori_loop(0, 4, rest_iter, vel_new)
 

@@ -287,6 +287,123 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         attr_ref[...] = num
 
 
+def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
+                  *, tiles_x, chunk):
+    """Depth-only variant of _raster_kernel for shadow maps: no tri/bary/attr
+    accumulators, no per-entry valid lane (binned entries are valid by
+    construction) and no zp<=1 test (implied by zp <= depth, depth0 = 1) —
+    roughly half the per-entry VPU ops and one output buffer instead of five.
+    """
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+    y0 = (ty * TILE_H).astype(jnp.float32)
+    x0 = (tx * TILE_W).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32) + (y0 + 0.5)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32) + (x0 + 0.5)
+
+    count = counts_ref[i]
+    start = starts_ref[i]
+    n_chunks = (count + chunk - 1) // chunk
+
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * chunk, chunk), :],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def body(k, slot, depth):
+        srow = scratch[slot, k, :]
+        dx = xs - srow[0]
+        dy = ys - srow[1]
+        w1 = srow[2] * dx + srow[3] * dy
+        w2 = srow[4] * dx + srow[5] * dy
+        zp = srow[6] + srow[7] * dx + srow[8] * dy
+        passed = ((w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0)
+                  & (zp <= depth) & (zp >= 0.0))
+        return jnp.where(passed, zp, depth)
+
+    def chunk_body(c, depth):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        n_here = jnp.minimum(chunk, count - c * chunk)
+        return jax.lax.fori_loop(
+            0, n_here, lambda k, d: body(k, slot, d), depth)
+
+    depth_ref[...] = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, jnp.ones((TILE_H, TILE_W), jnp.float32))
+
+
+def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
+    pad_w = -(-width // TILE_W) * TILE_W
+    pad_h = -(-height // TILE_H) * TILE_H
+    tiles_x = pad_w // TILE_W
+    n_tiles = (pad_h // TILE_H) * tiles_x
+    row_w = sorted_rows.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda i, s, c: (i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, = pl.pallas_call(
+        partial(_depth_kernel, tiles_x=tiles_x, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32)],
+        interpret=_interpret(),
+    )(starts, counts, sorted_rows)
+    return depth[:height, :width]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def rasterize_depth_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
+                          e_max=9, chunk=256):
+    """Depth-only binned rasterization (shadow maps): returns [H, W] depth
+    with the same z-test semantics as rasterize_tiled().depth."""
+    s = raster.setup(clip, tris, width, height, cull)
+    rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
+    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
+                                            chunk)
+    depth = _run_depth_kernel(sorted_rows, starts, counts, width, height,
+                              chunk)
+    if _covers_all(e_max, width, height):
+        return depth
+
+    def merge(depth):
+        t = tris.shape[0]
+        cap = min(BIG_TRI_CAP, t)
+        order = jnp.argsort(~big, stable=True)[:cap]
+        s_big = {
+            "xy": s["xy"][order],
+            "z": s["z"][order],
+            "area2": s["area2"][order],
+            "valid": (s["valid"] & big)[order],
+            "inv_w": s["inv_w"][order],
+        }
+        vis_big = _scan_subset(clip, tris[order], width, height, s_big)
+        return jnp.minimum(depth, vis_big.depth)
+
+    return jax.lax.cond(jnp.any(big), merge, lambda d: d, depth)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -342,6 +459,15 @@ def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, chunk):
 BIG_TRI_CAP = 64
 
 
+def _covers_all(e_max, width, height) -> bool:
+    """True when e_max >= the whole tile grid: no triangle can overflow into
+    the big-tri fallback, so the merge is skipped AT TRACE TIME. This matters
+    under vmap (crowds): lax.cond batches to a both-branches select, so the
+    fallback's full-frame scan would otherwise run for every instance every
+    frame even with zero big triangles."""
+    return e_max >= (-(-width // TILE_W)) * (-(-height // TILE_H))
+
+
 def _merge_big(vis, attr, clip, tris, width, height, s, big, attrs):
     """Exact scan raster over oversized triangles, merged by depth.
 
@@ -395,8 +521,9 @@ def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
                                             chunk)
     vis, _ = _run_kernel(sorted_rows, starts, counts, width, height, 0,
                          chunk)
-    vis, _ = _merge_big(vis, jnp.zeros((1, height, width), jnp.float32),
-                        clip, tris, width, height, s, big, None)
+    if not _covers_all(e_max, width, height):
+        vis, _ = _merge_big(vis, jnp.zeros((1, height, width), jnp.float32),
+                            clip, tris, width, height, s, big, None)
     return vis
 
 
@@ -417,8 +544,9 @@ def rasterize_attrs_tiled(clip, tris, attrs, width, height,
                                             chunk)
     vis, attr = _run_kernel(sorted_rows, starts, counts, width, height,
                             attrs.shape[1], chunk)
-    vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
-                           attrs)
+    if not _covers_all(e_max, width, height):
+        vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
+                               attrs)
     attr = jnp.moveaxis(attr, 0, -1)
     attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
     return vis, attr

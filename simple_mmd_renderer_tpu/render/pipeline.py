@@ -101,6 +101,16 @@ def ground_pass(cfg: RenderConfig, view, proj, width, height):
     return mask, hit, jnp.where(mask, depth, 1.0)
 
 
+def _tiled_e_max(width, height, default=6):
+    """Covers-all e_max at small targets (crowd viewports, small shadow
+    maps): when the whole tile grid fits in <=16 entries/tri, binning every
+    covered tile removes the big-tri fallback at trace time — which under
+    vmap would otherwise run its full-frame scan for every instance."""
+    from ..ops.tiled_raster import TILE_H, TILE_W
+    n_tiles = (-(-width // TILE_W)) * (-(-height // TILE_H))
+    return n_tiles if n_tiles <= 16 else default
+
+
 def _pick_raster(cfg, n_tris):
     if cfg.raster_mode == "tiled" or (
             cfg.raster_mode == "auto" and n_tris > 1000
@@ -116,10 +126,12 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
     raster_fn = raster_fn or raster.rasterize
     clip = raster.transform_clip(verts_m, light_mvp)
     if raster_fn is not raster.rasterize:
-        vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT,
-                        6, 256)
-    else:
-        vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
+        # depth-only kernel: ~half the per-entry ops of the full raster
+        from ..ops.tiled_raster import rasterize_depth_tiled
+        return rasterize_depth_tiled(clip, tris_flipped, size, size,
+                                     raster.CULL_FRONT,
+                                     _tiled_e_max(size, size), 256)
+    vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
     return vis.depth
 
 
@@ -319,7 +331,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     else:
         from ..ops.tiled_raster import rasterize_attrs_tiled
         vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
-                                             height, raster.CULL_BACK, 6, 256)
+                                             height, raster.CULL_BACK,
+                                             _tiled_e_max(width, height), 256)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],

@@ -135,3 +135,74 @@ def test_bench_scene_has_binning_headroom():
     stats = tiled_raster.binning_stats(clip, tris, 640, 360,
                                        raster.CULL_BACK, 6, 192)
     assert stats["big_dropped"] == 0, stats
+
+
+def test_depth_only_matches_full_tiled():
+    """rasterize_depth_tiled (shadow path) == rasterize_tiled().depth,
+    including the big-triangle fallback and both cull modes."""
+    rng = np.random.default_rng(13)
+    clip_s, tris_s = _random_mesh(rng, t=120)
+    big = np.array([[-3, -3, 0.95, 1], [3, -3, 0.95, 1], [0, 3, 0.95, 1]],
+                   np.float32)
+    clip = jnp.concatenate([clip_s, jnp.asarray(big)])
+    tris = jnp.concatenate(
+        [tris_s, jnp.asarray([[360, 361, 362]], jnp.int32)])
+    w, h = 256, 128
+    for cull in (raster.CULL_NONE, raster.CULL_FRONT, raster.CULL_BACK):
+        ref = tiled_raster.rasterize_tiled(clip, tris, w, h, cull)
+        got = tiled_raster.rasterize_depth_tiled(clip, tris, w, h, cull)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref.depth),
+                                   atol=2e-5)
+
+
+def test_depth_only_dense_tile_chunking():
+    rng = np.random.default_rng(14)
+    clip, tris = _random_mesh(rng, t=400, spread=0.05, size=0.08)
+    w, h = 128, 64
+    ref = raster.rasterize(clip, tris, w, h, raster.CULL_NONE)
+    got = tiled_raster.rasterize_depth_tiled(clip, tris, w, h,
+                                             raster.CULL_NONE, 6, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref.depth),
+                               atol=2e-5)
+
+
+def test_covers_all_e_max_handles_giant_tris_without_merge():
+    """When e_max >= n_tiles the big-tri fallback is skipped at trace time;
+    screen-filling triangles must render exactly through the bins alone."""
+    rng = np.random.default_rng(15)
+    clip_s, tris_s = _random_mesh(rng, t=60)
+    big = np.array([[-3, -3, 0.95, 1], [3, -3, 0.95, 1], [0, 3, 0.95, 1]],
+                   np.float32)
+    clip = jnp.concatenate([clip_s, jnp.asarray(big)])
+    tris = jnp.concatenate(
+        [tris_s, jnp.asarray([[180, 181, 182]], jnp.int32)])
+    w, h = 256, 128  # 2x4 = 8 tiles
+    n_tiles = 8
+    assert tiled_raster._covers_all(n_tiles, w, h)
+    ref = raster.rasterize(clip, tris, w, h, raster.CULL_NONE)
+    got = tiled_raster.rasterize_tiled(clip, tris, w, h, raster.CULL_NONE,
+                                       n_tiles, 64)
+    _assert_vis_equal(got, ref)
+    gotd = tiled_raster.rasterize_depth_tiled(clip, tris, w, h,
+                                              raster.CULL_NONE, n_tiles, 64)
+    np.testing.assert_allclose(np.asarray(gotd), np.asarray(ref.depth),
+                               atol=2e-5)
+
+
+def test_big_tri_merge_still_active_at_large_targets():
+    """At targets larger than the covers-all threshold the scan fallback
+    still merges oversized triangles exactly."""
+    rng = np.random.default_rng(16)
+    clip_s, tris_s = _random_mesh(rng, t=40)
+    big = np.array([[-3, -3, 0.95, 1], [3, -3, 0.95, 1], [0, 3, 0.95, 1]],
+                   np.float32)
+    clip = jnp.concatenate([clip_s, jnp.asarray(big)])
+    tris = jnp.concatenate(
+        [tris_s, jnp.asarray([[120, 121, 122]], jnp.int32)])
+    w, h = 384, 256  # 3x8 = 24 tiles > e_max=6 -> merge path live
+    assert not tiled_raster._covers_all(6, w, h)
+    ref = raster.rasterize(clip, tris, w, h, raster.CULL_NONE)
+    got = tiled_raster.rasterize_tiled(clip, tris, w, h, raster.CULL_NONE,
+                                       6, 64)
+    assert (np.asarray(got.tri) == 40).any()
+    _assert_vis_equal(got, ref)
