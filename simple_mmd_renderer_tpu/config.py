@@ -97,3 +97,7 @@ class AppConfig:
     physics: PhysicsConfig = field(default_factory=PhysicsConfig)
     fps: float = 30.0                  # VMD frame rate (main.cpp:1793)
     animation_playing: bool = True
+    # True spherical SDEF skinning (beyond-parity: the reference ships only
+    # the BDEF2 matrix-lerp fallback, its true path is commented out at
+    # poser_impl.inl:438-458). Default False = reference behavior.
+    sdef_true: bool = False

@@ -388,27 +388,80 @@ def post_physics_posing(static: ModelStatic, pose: PoseArrays, anim_rot,
 # Deform (poser_impl.inl:396-461): uniform 4-wide linear blend skinning
 # ---------------------------------------------------------------------------
 
-def deform(static: ModelStatic, pose: PoseArrays, use_matmul=None):
+def deform(static: ModelStatic, pose: PoseArrays, use_matmul=None,
+           sdef=False):
     """-> (positions [N,3], normals [N,3]) in MMD units.
 
     BDEF1/BDEF2/BDEF4 and the reference's SDEF->BDEF2 matrix-lerp fallback all
     reduce to M = sum_k w_k * skin[b_k] on 4-wide normalized tables. When the
     dense weight matrix exists, the blend runs as a bone-palette matmul on the
-    MXU (ops/skinning.py); otherwise (or on request) a 4-wide gather."""
+    MXU (ops/skinning.py); otherwise (or on request) a 4-wide gather.
+
+    sdef=True enables TRUE spherical SDEF for the vertices that kept
+    SDEF through Model::Normalize — the path the reference has only as
+    commented-out code (poser_impl.inl:438-458; it ships the BDEF2
+    matrix-lerp fallback at :417-425, which sdef=False matches)."""
     if use_matmul is None:
         use_matmul = static.skin_weight_dense is not None
     if use_matmul and static.skin_weight_dense is not None:
         from ..ops.skinning import skin_matmul
-        return skin_matmul(static.skin_weight_dense, pose.skin,
-                           jnp.asarray(static.positions),
-                           pose.vertex_offsets,
-                           jnp.asarray(static.normals))
-    bones = jnp.asarray(static.skin_bones)      # [N,4]
-    weights = jnp.asarray(static.skin_weights)  # [N,4]
-    mats = pose.skin[bones]                     # [N,4,4,4]
-    blend = jnp.einsum("nk,nkij->nij", weights, mats)
-    p = jnp.asarray(static.positions) + pose.vertex_offsets
-    out_pos = jnp.einsum("nij,nj->ni", blend[:, :3, :3], p) + blend[:, :3, 3]
-    out_nrm = jnp.einsum("nij,nj->ni", blend[:, :3, :3],
-                         jnp.asarray(static.normals))
+        out_pos, out_nrm = skin_matmul(static.skin_weight_dense, pose.skin,
+                                       jnp.asarray(static.positions),
+                                       pose.vertex_offsets,
+                                       jnp.asarray(static.normals))
+    else:
+        bones = jnp.asarray(static.skin_bones)      # [N,4]
+        weights = jnp.asarray(static.skin_weights)  # [N,4]
+        mats = pose.skin[bones]                     # [N,4,4,4]
+        blend = jnp.einsum("nk,nkij->nij", weights, mats)
+        p = jnp.asarray(static.positions) + pose.vertex_offsets
+        out_pos = (jnp.einsum("nij,nj->ni", blend[:, :3, :3], p)
+                   + blend[:, :3, 3])
+        out_nrm = jnp.einsum("nij,nj->ni", blend[:, :3, :3],
+                             jnp.asarray(static.normals))
+    if sdef:
+        out_pos, out_nrm = _sdef_overwrite(static, pose, out_pos, out_nrm)
     return out_pos, out_nrm
+
+
+def _sdef_overwrite(static: ModelStatic, pose: PoseArrays, out_pos, out_nrm):
+    """Spherical SDEF for the (host-static) SDEF vertex subset.
+
+    Rotation is the slerp of the two bone rotations; translation anchors
+    through the center point C with the R0/R1 correction, so the skin bulges
+    around the joint instead of collapsing like linear matrix-lerp:
+
+        rw  = w0*R0 + w1*R1
+        cr0 = (C + (C + R0 - rw)) / 2,  cr1 = (C + (C + R1 - rw)) / 2
+        p'  = slerp(q0, q1, w1) * (p - C) + w0*(M0 @ cr0) + w1*(M1 @ cr1)
+
+    (the standard MMD SDEF formulation, e.g. saba's implementation)."""
+    from ..formats import pmx as P
+    idx_np = np.nonzero(np.asarray(static.skin_type) == P.SDEF)[0]
+    if len(idx_np) == 0:
+        return out_pos, out_nrm
+    idx = jnp.asarray(idx_np)
+    b0 = jnp.asarray(static.skin_bones[idx_np, 0])
+    b1 = jnp.asarray(static.skin_bones[idx_np, 1])
+    w0 = jnp.asarray(static.skin_weights[idx_np, 0])[:, None]
+    w1 = 1.0 - w0
+    m0 = pose.skin[b0]
+    m1 = pose.skin[b1]
+    q0 = m3.mat3_to_quat(m0[:, :3, :3])
+    q1 = m3.mat3_to_quat(m1[:, :3, :3])
+    qb = m3.quat_slerp(q0, q1, w1[:, 0])
+
+    c = jnp.asarray(static.sdef_c[idx_np])
+    r0 = jnp.asarray(static.sdef_r0[idx_np])
+    r1 = jnp.asarray(static.sdef_r1[idx_np])
+    rw = r0 * w0 + r1 * w1
+    cr0 = c + (r0 - rw) * 0.5
+    cr1 = c + (r1 - rw) * 0.5
+
+    def apply(m, v):
+        return jnp.einsum("nij,nj->ni", m[:, :3, :3], v) + m[:, :3, 3]
+
+    p = (jnp.asarray(static.positions)[idx] + pose.vertex_offsets[idx])
+    pos = m3.quat_rotate(qb, p - c) + w0 * apply(m0, cr0) + w1 * apply(m1, cr1)
+    nrm = m3.quat_rotate(qb, jnp.asarray(static.normals)[idx])
+    return out_pos.at[idx].set(pos), out_nrm.at[idx].set(nrm)

@@ -85,7 +85,8 @@ class Scene:
                 static, self.phys_static, physics, pose, cfg.physics)
         pose = pose_mod.post_physics_posing(static, pose, anim_rot,
                                             anim_trans, rates)
-        positions, normals = pose_mod.deform(static, pose)
+        positions, normals = pose_mod.deform(static, pose,
+                                             sdef=cfg.sdef_true)
         return SimState(time=time, physics=physics), pose, positions, normals
 
     def step_and_render(self, state: SimState, width=None, height=None):

@@ -245,3 +245,17 @@ def affine_inverse(m):
 
 def mat_from_quat_trans(q, t):
     return affine(quat_to_mat3(q), t)
+
+
+def mat3_to_quat(m):
+    """Rotation matrix [..., 3, 3] -> quaternion (x, y, z, w), w >= 0 branch
+    (adequate for blending nearby skinning rotations)."""
+    t = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    qw = jnp.sqrt(jnp.maximum(1.0 + t, 1e-12)) * 0.5
+    s = 1.0 / (4.0 * jnp.maximum(qw, 1e-6))
+    q = jnp.stack([
+        (m[..., 2, 1] - m[..., 1, 2]) * s,
+        (m[..., 0, 2] - m[..., 2, 0]) * s,
+        (m[..., 1, 0] - m[..., 0, 1]) * s,
+        qw], -1)
+    return quat_normalize(q)

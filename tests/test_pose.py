@@ -244,3 +244,61 @@ def test_skinning_bitwise_stable():
     a = np.asarray(run(jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(rates)))
     b = np.asarray(run(jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(rates)))
     np.testing.assert_array_equal(a, b)
+
+
+def _sdef_arm():
+    """two_bone_arm with non-trivial SDEF auxiliary points."""
+    pm = two_bone_arm()
+    pm.sdef_r0[3] = [0.8, 0.1, 0.0]
+    pm.sdef_r1[3] = [1.2, -0.1, 0.0]
+    return pm
+
+
+def test_sdef_true_identity_pose_is_rest():
+    pm = _sdef_arm()
+    static = M.build_model(pm)
+    assert (static.skin_type == P.SDEF).sum() == 1
+    rot, trans, rates = neutral_inputs(static)
+    pose = run_jax(static, rot, trans, rates)
+    p, n = PO.deform(static, pose, sdef=True)
+    np.testing.assert_allclose(p, static.positions, atol=1e-6)
+    np.testing.assert_allclose(n, static.normals, atol=1e-6)
+
+
+def test_sdef_true_rigid_motion_equivariant():
+    """Rotating the root rotates the whole rig rigidly: true SDEF must map
+    every vertex by exactly that rotation (w0*cr0 + w1*cr1 == C identity)."""
+    pm = _sdef_arm()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    ang = 0.7
+    rot[0] = [0, 0, np.sin(ang / 2), np.cos(ang / 2)]
+    trans[0] = [0.3, -0.2, 0.5]
+    pose = run_jax(static, rot, trans, rates)
+    p, n = PO.deform(static, pose, sdef=True)
+    c, s = np.cos(ang), np.sin(ang)
+    rmat = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    exp_p = static.positions @ rmat.T + trans[0]
+    exp_n = static.normals @ rmat.T
+    np.testing.assert_allclose(p, exp_p, atol=1e-5)
+    np.testing.assert_allclose(n, exp_n, atol=1e-5)
+
+
+def test_sdef_true_differs_from_fallback_at_bent_joint():
+    """At a bent joint the spherical blend must separate from the linear
+    matrix-lerp fallback (which collapses the skin), while non-SDEF
+    vertices stay bit-identical."""
+    pm = _sdef_arm()
+    static = M.build_model(pm)
+    rot, trans, rates = neutral_inputs(static)
+    rot[1] = [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)]  # bend child 90°
+    pose = run_jax(static, rot, trans, rates)
+    p_fb, n_fb = PO.deform(static, pose, sdef=False)
+    p_tr, n_tr = PO.deform(static, pose, sdef=True)
+    assert np.abs(np.asarray(p_tr[3]) - np.asarray(p_fb[3])).max() > 1e-3
+    np.testing.assert_allclose(p_tr[:3], p_fb[:3], atol=0)
+    # the spherical blend preserves distance to the rotation center better:
+    # |p' - C'| should stay near the rest distance |p - C| under pure
+    # rotation blending (translation part cancels through the cr anchors)
+    nrm_len = np.linalg.norm(np.asarray(n_tr[3]))
+    np.testing.assert_allclose(nrm_len, 1.0, atol=1e-5)
