@@ -65,6 +65,12 @@ def main(argv=None):
     ap.add_argument("--no-physics", action="store_true")
     ap.add_argument("--no-shadows", action="store_true")
     ap.add_argument("--shadow-size", type=int, default=2048)
+    ap.add_argument("--msaa", type=int, default=1, choices=(1, 4),
+                    help="4 = per-sample MSAA (the reference's native "
+                         "quality, main.cpp:2504)")
+    ap.add_argument("--sdef", action="store_true",
+                    help="true spherical SDEF skinning (beyond-parity; "
+                         "default is the reference's BDEF2 fallback)")
     ap.add_argument("--density", type=float, default=1.0,
                     help="sample mesh density")
     args = ap.parse_args(argv)
@@ -121,8 +127,10 @@ def main(argv=None):
     cfg = AppConfig()
     cfg.render = RenderConfig(width=args.width, height=args.height,
                               shadow_map_size=args.shadow_size,
-                              shadows_enabled=not args.no_shadows)
+                              shadows_enabled=not args.no_shadows,
+                              msaa=args.msaa)
     cfg.physics.enabled = not args.no_physics
+    cfg.sdef_true = args.sdef
 
     cubemap = None
     if args.hdr and os.path.isfile(args.hdr):

@@ -22,9 +22,13 @@ class RenderConfig:
     width: int = 1280
     height: int = 720
     clear_color: np.ndarray = _v(0.1, 0.1, 0.15)
-    # reference renders with 4x MSAA (main.cpp:2504); emulated here by 2x2
-    # supersampling when msaa >= 4 (1 = off)
+    # reference renders with 4x MSAA (main.cpp:2504). msaa >= 4 runs TRUE
+    # per-sample MSAA in the tiled raster kernel (4 rotated-grid samples per
+    # pixel, shade-once-per-pixel, coverage resolve — like GPU hardware);
+    # msaa_supersample=True forces the 2x2-supersample emulation instead
+    # (also used automatically when the exact scan rasterizer is active).
     msaa: int = 1
+    msaa_supersample: bool = False
 
     # camera (main.cpp:151-156; clip planes main.cpp:1897)
     camera_pos: np.ndarray = _v(0.2, 1.6, -4.0)

@@ -47,9 +47,17 @@ class Scene:
     camera: object | None = None  # render.camera_anim.CameraArrays
 
     def init_state(self) -> SimState:
-        pose = self._neutral_pose()
-        return SimState(time=jnp.float32(0.0),
-                        physics=phys_mod.physics_reset(self.phys_static, pose))
+        # jitted: eagerly this is thousands of tiny dispatches (neutral-pose
+        # FK/IK + physics seed), which costs minutes through a remote-tunnel
+        # device — as one compiled program it is milliseconds
+        @jax.jit
+        def _init():
+            pose = self._neutral_pose()
+            return SimState(
+                time=jnp.float32(0.0),
+                physics=phys_mod.physics_reset(self.phys_static, pose))
+
+        return _init()
 
     def _neutral_pose(self):
         b = self.static.n_bones

@@ -287,6 +287,209 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         attr_ref[...] = num
 
 
+# D3D11/OpenGL standard 4x MSAA sample pattern (pixel units from center)
+MSAA4_OFFSETS = ((-0.125, -0.375), (0.375, -0.125),
+                 (-0.375, 0.125), (0.125, 0.375))
+
+
+def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
+                      b1_ref, b2_ref, attr_ref, sdepth_ref, scratch, sem, *,
+                      tiles_x, n_attrs, chunk):
+    """4x-MSAA variant of _raster_kernel: per-pixel center visibility +
+    attributes (coverage extended to any-sample so edge pixels carry valid
+    attributes, like non-centroid GPU interpolation) plus PER-SAMPLE depth
+    at the 4 standard offsets. Per-sample deltas of every plane are scalar
+    constants per entry, so each extra sample costs ~12 vector ops."""
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+    y0 = (ty * TILE_H).astype(jnp.float32)
+    x0 = (tx * TILE_W).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32) + (y0 + 0.5)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32) + (x0 + 0.5)
+
+    count = counts_ref[i]
+    start = starts_ref[i]
+    n_chunks = (count + chunk - 1) // chunk
+
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * chunk, chunk), :],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def body(k, slot, carry):
+        depth, tri, b1v, b2v, num, den, sdepth = carry
+        srow = scratch[slot, k, :]
+        dx = xs - srow[0]
+        dy = ys - srow[1]
+
+        def plane(base):
+            return srow[base] + srow[base + 1] * dx + srow[base + 2] * dy
+
+        w1 = srow[2] * dx + srow[3] * dy
+        w2 = srow[4] * dx + srow[5] * dy
+        zp = plane(6)
+        valid = srow[9] > 0.0
+        tid = srow[10].astype(jnp.int32)
+
+        new_sdepth = []
+        cover_any = None
+        for s, (ox, oy) in enumerate(MSAA4_OFFSETS):
+            dw1 = srow[2] * ox + srow[3] * oy        # scalar per entry
+            dw2 = srow[4] * ox + srow[5] * oy
+            dz = srow[7] * ox + srow[8] * oy
+            w1s = w1 + dw1
+            w2s = w2 + dw2
+            zs = zp + dz
+            cover_s = (w1s >= 0) & (w2s >= 0) & (w1s + w2s <= 1.0) & valid
+            cover_any = cover_s if cover_any is None else (cover_any | cover_s)
+            pass_s = cover_s & (zs <= sdepth[s]) & (zs >= 0.0)
+            new_sdepth.append(jnp.where(pass_s, zs, sdepth[s]))
+        sdepth = jnp.stack(new_sdepth)
+
+        # center visibility with any-sample coverage (edge pixels keep the
+        # front surface's attributes even when the exact center is outside).
+        # Entries NOT covering the exact center carry a +2 depth bias, so a
+        # true center-covering triangle always beats an edge extrapolation —
+        # the stored center visibility stays exact wherever it exists.
+        cover_c = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0)
+        zb = zp + jnp.where(cover_c, 0.0, 2.0)
+        passed = cover_any & (zb <= depth) & (zp >= 0.0) & (zp <= 1.0)
+        depth = jnp.where(passed, zb, depth)
+        tri = jnp.where(passed, tid, tri)
+        b1v = jnp.where(passed, w1, b1v)
+        b2v = jnp.where(passed, w2, b2v)
+        if n_attrs:
+            den = jnp.where(passed, plane(BASE_WIDTH), den)
+            new_num = []
+            for a in range(n_attrs):
+                v = plane(BASE_WIDTH + 3 + 3 * a)
+                new_num.append(jnp.where(passed, v, num[a]))
+            num = jnp.stack(new_num)
+        return depth, tri, b1v, b2v, num, den, sdepth
+
+    na = max(n_attrs, 1)
+    init = (jnp.full((TILE_H, TILE_W), 3.0, jnp.float32),  # biased clear
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.zeros((na, TILE_H, TILE_W), jnp.float32),
+            jnp.ones((TILE_H, TILE_W), jnp.float32),
+            jnp.ones((4, TILE_H, TILE_W), jnp.float32))
+
+    def chunk_body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        n_here = jnp.minimum(chunk, count - c * chunk)
+        return jax.lax.fori_loop(
+            0, n_here, lambda k, cr: body(k, slot, cr), carry)
+
+    depth, tri, b1v, b2v, num, den, sdepth = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init)
+    # un-bias: empty stays far (1.0); extrapolated edge winners drop the +2
+    depth = jnp.where(tri < 0, 1.0,
+                      jnp.where(depth > 1.5, depth - 2.0, depth))
+    depth_ref[...] = depth
+    tri_ref[...] = tri
+    b1_ref[...] = b1v
+    b2_ref[...] = b2v
+    sdepth_ref[...] = sdepth
+    if n_attrs:
+        safe = jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
+        attr_ref[...] = num / safe[None, :, :]
+    else:
+        attr_ref[...] = num
+
+
+def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
+                   chunk):
+    pad_w = -(-width // TILE_W) * TILE_W
+    pad_h = -(-height // TILE_H) * TILE_H
+    tiles_x = pad_w // TILE_W
+    n_tiles = (pad_h // TILE_H) * tiles_x
+    na = max(n_attrs, 1)
+    row_w = sorted_rows.shape[1]
+
+    tile_spec = lambda: pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, s, c: (i // tiles_x, i % tiles_x),
+        memory_space=pltpu.VMEM)
+    plane_spec = lambda n: pl.BlockSpec(
+        (n, TILE_H, TILE_W), lambda i, s, c: (0, i // tiles_x, i % tiles_x),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[tile_spec(), tile_spec(), tile_spec(), tile_spec(),
+                   plane_spec(na), plane_spec(4)],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, tri, b1, b2, attr, sdepth = pl.pallas_call(
+        partial(_raster_kernel_ms, tiles_x=tiles_x, n_attrs=n_attrs,
+                chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((na, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((4, pad_h, pad_w), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(starts, counts, sorted_rows)
+    vis = raster.VisBuffer(
+        depth=depth[:height, :width],
+        tri=tri[:height, :width],
+        bary=jnp.stack([b1[:height, :width], b2[:height, :width]], -1))
+    return vis, attr[:, :height, :width], sdepth[:, :height, :width]
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
+                               cull=raster.CULL_BACK, e_max=9, chunk=256):
+    """4x-MSAA raster: center visibility + attributes like
+    rasterize_attrs_tiled, PLUS per-sample depth [4, H, W] at the standard
+    rotated-grid offsets. A sample is covered iff its depth < 1.0.
+
+    Big-triangle fallback approximates all four samples with the center
+    result (oversized triangles are interior-dominated)."""
+    g = jnp.concatenate([clip, attrs], -1)[tris]
+    s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4],
+                     sample_extent=0.375)
+    s["tris_v"] = tris
+    s["va"] = g[..., 4:]
+    rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
+    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
+                                            chunk)
+    vis, attr, sdepth = _run_kernel_ms(sorted_rows, starts, counts, width,
+                                       height, attrs.shape[1], chunk)
+    if not _covers_all(e_max, width, height):
+        vis0 = vis
+        vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
+                               attrs)
+        big_won = (vis.depth < vis0.depth) | (vis.tri != vis0.tri)
+        sdepth = jnp.where(big_won[None], jnp.minimum(sdepth, vis.depth[None]),
+                           sdepth)
+    attr = jnp.moveaxis(attr, 0, -1)
+    attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
+    return vis, attr, sdepth
+
+
 def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
                   *, tiles_x, chunk):
     """Depth-only variant of _raster_kernel for shadow maps: no tri/bary/attr

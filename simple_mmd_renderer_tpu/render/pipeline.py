@@ -252,7 +252,10 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     reference's 4x MSAA, main.cpp:2504)."""
     width = width or cfg.width
     height = height or cfg.height
-    if cfg.msaa >= 4:
+    msaa_native = (cfg.msaa >= 4 and not cfg.msaa_supersample
+                   and _pick_raster(cfg, len(static.triangles))
+                   is not raster.rasterize)
+    if cfg.msaa >= 4 and not msaa_native:
         import dataclasses
         sub = dataclasses.replace(cfg, msaa=1,
                                   shadow_lookup_downsample=max(
@@ -325,9 +328,15 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     if part_textures is not None:
         attr_list.append(jnp.asarray(static.uvs))
     attrs = jnp.concatenate(attr_list, -1)
+    sdepth = None
     if raster_fn is raster.rasterize:
         vis = raster_fn(clip, tris, width, height, raster.CULL_BACK)
         attr_px = raster.interpolate(vis, clip, tris, attrs)
+    elif msaa_native:
+        from ..ops.tiled_raster import rasterize_attrs_tiled_msaa
+        vis, attr_px, sdepth = rasterize_attrs_tiled_msaa(
+            clip, tris, attrs, width, height, raster.CULL_BACK,
+            _tiled_e_max(width, height), 256)
     else:
         from ..ops.tiled_raster import rasterize_attrs_tiled
         vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
@@ -354,5 +363,13 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     char_color = shade.shade_character(
         albedo, nrm_px, world_px, jnp.asarray(cfg.camera_pos, jnp.float32),
         cfg)
-    color = jnp.where(char_mask[..., None], char_color, color)
+    if sdepth is not None:
+        # MSAA resolve: shade once per pixel (center attributes), coverage
+        # from the 4 per-sample depths vs the (per-pixel) ground depth —
+        # geometry edges against ground/skybox resolve at 1/4 steps
+        mask_s = (sdepth < 1.0 - 1e-7) & (sdepth <= ground_depth[None])
+        frac = jnp.mean(mask_s.astype(jnp.float32), axis=0)[..., None]
+        color = color * (1.0 - frac) + char_color * frac
+    else:
+        color = jnp.where(char_mask[..., None], char_color, color)
     return jnp.clip(color, 0.0, 1.0)

@@ -54,13 +54,16 @@ def screen_from_clip(clip, width, height):
     return jnp.stack([x, y], -1), ndc[..., 2], inv_w
 
 
-def setup(clip, tris, width, height, cull=CULL_BACK, cv=None):
+def setup(clip, tris, width, height, cull=CULL_BACK, cv=None,
+          sample_extent=0.0):
     """Per-triangle rasterization setup.
 
     Returns dict of [T,...] arrays: screen xy per vertex, z per vertex, 1/w per
     vertex, valid mask (in front of camera, non-degenerate, not culled).
     Triangles crossing w<=0 are dropped (guard-band near clip). `cv` may pass
-    pre-gathered clip[tris] (callers fuse it with their attribute gather)."""
+    pre-gathered clip[tris] (callers fuse it with their attribute gather).
+    `sample_extent` widens the sample-point cull for MSAA samples offset up
+    to that many pixels from the center (0 = center sampling)."""
     # one gather of clip coords per triangle corner; the screen mapping is
     # recomputed on the gathered [T,3,4] (TPU gathers dominate, math is free)
     if cv is None:
@@ -87,8 +90,9 @@ def setup(clip, tris, width, height, cull=CULL_BACK, cv=None):
     xmax = jnp.max(xy[..., 0], -1)
     ymin = jnp.min(xy[..., 1], -1)
     ymax = jnp.max(xy[..., 1], -1)
-    hits_sample = ((jnp.ceil(xmin - 0.5) <= jnp.floor(xmax - 0.5))
-                   & (jnp.ceil(ymin - 0.5) <= jnp.floor(ymax - 0.5)))
+    e = float(sample_extent)
+    hits_sample = ((jnp.ceil(xmin - 0.5 - e) <= jnp.floor(xmax - 0.5 + e))
+                   & (jnp.ceil(ymin - 0.5 - e) <= jnp.floor(ymax - 0.5 + e)))
 
     valid = w_ok & face_ok & (jnp.abs(area2) > 1e-12) & hits_sample
     return dict(xy=xy, z=z, inv_w=iw, area2=area2, valid=valid)

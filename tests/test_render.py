@@ -234,3 +234,28 @@ def test_msaa_supersampling():
     # same scene, antialiased edges: small mean difference, nonzero variance
     assert np.abs(img - img1).mean() < 0.05
     assert np.abs(img - img1).max() > 0.01
+
+
+def test_msaa_native_kernel_path():
+    """True per-sample MSAA (tiled kernel) vs single-sample and vs the
+    supersample emulation: close overall, antialiased at edges."""
+    static = _sphere_model(n=8)
+    base = dict(width=64, height=48, shadow_map_size=64, show_skybox=False,
+                raster_mode="tiled")
+    args = (static, jnp.asarray(static.positions),
+            jnp.asarray(static.normals))
+    img_native = np.asarray(render_frame(
+        *args, RenderConfig(msaa=4, **base)))
+    img_ss = np.asarray(render_frame(
+        *args, RenderConfig(msaa=4, msaa_supersample=True, **base)))
+    img_1 = np.asarray(render_frame(*args, RenderConfig(msaa=1, **base)))
+    assert img_native.shape == (48, 64, 3)
+    assert np.isfinite(img_native).all()
+    # both AA modes stay near the aliased image overall...
+    assert np.abs(img_native - img_1).mean() < 0.05
+    # ...and the native path produces fractional edge coverage: pixels
+    # strictly between the background and the character intensity
+    d = np.abs(img_native - img_1).max(-1)
+    assert (d > 0.02).any(), "native MSAA changed no edge pixels"
+    # native and supersample agree closely where both are interior
+    assert np.abs(img_native - img_ss).mean() < 0.06

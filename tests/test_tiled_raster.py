@@ -206,3 +206,60 @@ def test_big_tri_merge_still_active_at_large_targets():
                                        6, 64)
     assert (np.asarray(got.tri) == 40).any()
     _assert_vis_equal(got, ref)
+
+
+def _shift_clip(clip, ox, oy, w, h):
+    """Clip-space translation that moves the pixel-center sample grid onto
+    the (ox, oy)-offset sample positions (y is screen-down)."""
+    c = np.asarray(clip).copy()
+    c[:, 0] -= (2.0 * ox / w) * c[:, 3]
+    c[:, 1] += (2.0 * oy / h) * c[:, 3]
+    return jnp.asarray(c)
+
+
+def test_msaa_per_sample_depth_matches_shifted_scan():
+    rng = np.random.default_rng(17)
+    clip, tris = _random_mesh(rng, t=160)
+    attrs = jnp.asarray(rng.uniform(0, 1, (clip.shape[0], 3)).astype(
+        np.float32))
+    w, h = 256, 128
+    vis, attr, sdepth = tiled_raster.rasterize_attrs_tiled_msaa(
+        clip, tris, attrs, w, h, raster.CULL_NONE)
+    for s, (ox, oy) in enumerate(tiled_raster.MSAA4_OFFSETS):
+        ref = raster.rasterize(_shift_clip(clip, ox, oy, w, h), tris, w, h,
+                               raster.CULL_NONE)
+        ref_cov = np.asarray(ref.tri) >= 0
+        got_cov = np.asarray(sdepth[s]) < 1.0 - 1e-7
+        assert (ref_cov != got_cov).mean() < 2e-3, f"sample {s} coverage"
+        both = ref_cov & got_cov
+        np.testing.assert_allclose(np.asarray(sdepth[s])[both],
+                                   np.asarray(ref.depth)[both], atol=3e-5)
+
+
+def test_msaa_center_visibility_supersets_standard():
+    """Where the standard center raster has coverage, the MSAA kernel's
+    center visibility must agree exactly (its extra any-sample coverage only
+    ADDS edge pixels)."""
+    rng = np.random.default_rng(18)
+    clip, tris = _random_mesh(rng, t=120)
+    attrs = jnp.asarray(rng.uniform(0, 1, (clip.shape[0], 2)).astype(
+        np.float32))
+    w, h = 256, 128
+    ref_vis, ref_attr = tiled_raster.rasterize_attrs_tiled(
+        clip, tris, attrs, w, h, raster.CULL_NONE)
+    vis, attr, _ = tiled_raster.rasterize_attrs_tiled_msaa(
+        clip, tris, attrs, w, h, raster.CULL_NONE)
+    cov = np.asarray(ref_vis.tri) >= 0
+    # residual mismatches are pixels whose center-covering triangle hits no
+    # sample (correct MSAA semantics: invisible to sample-based raster, so
+    # another sample-covered triangle fills the pixel's attributes)
+    assert (np.asarray(vis.tri)[cov] == np.asarray(ref_vis.tri)[cov]).mean() \
+        > 0.99
+    same = cov & (np.asarray(vis.tri) == np.asarray(ref_vis.tri))
+    np.testing.assert_allclose(np.asarray(vis.depth)[same],
+                               np.asarray(ref_vis.depth)[same], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attr)[same],
+                               np.asarray(ref_attr)[same], atol=2e-4)
+    # near-superset: a center-covered pixel goes empty only when its
+    # triangle hits none of the 4 samples (sample-based raster semantics)
+    assert (np.asarray(vis.tri)[cov] >= 0).mean() > 0.99
