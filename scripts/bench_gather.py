@@ -97,6 +97,37 @@ def main():
         bot = q[..., 6:9] * (1 - fx) + q[..., 9:12] * fx
         return jnp.mean((top * (1 - fy) + bot * fy).astype(jnp.float32))
 
+    # 2x2 neighborhood bit-packed into 3 u32 lanes (RGB888 x 4 texels):
+    # 12 bytes/row vs bf16x12's 24 — gather cost scales with row bytes
+    p8 = (np.asarray(packed).reshape(TH * TW, 4, 3) * 255).astype(np.uint32)
+    packed_u32 = jnp.asarray(
+        p8[:, :, 0] | (p8[:, :, 1] << 8) | (p8[:, :, 2] << 16))  # [N,4] u32
+
+    def packed1_u32(c):
+        u, v, x0, y0 = coords(c)
+        fx = (u - x0)[..., None]
+        fy = (v - y0)[..., None]
+        q = packed_u32[y0 * TW + x0]                  # [H,W,4] u32
+        def rgb(i):
+            w = q[..., i]
+            return jnp.stack([(w & 0xFF), (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+                             -1).astype(jnp.float32) * (1.0 / 255.0)
+        top = rgb(0) * (1 - fx) + rgb(1) * fx
+        bot = rgb(2) * (1 - fx) + rgb(3) * fx
+        return jnp.mean(top * (1 - fy) + bot * fy)
+
+    # single-texel RGB888 in ONE u32 lane (4 bytes/row): nearest sampling,
+    # the mip-chain candidate
+    tex_u32 = jnp.asarray(p8[:, 0, 0] | (p8[:, 0, 1] << 8)
+                          | (p8[:, 0, 2] << 16))
+
+    def nearest1_u32(c):
+        u, v, x0, y0 = coords(c)
+        w = tex_u32[y0 * TW + x0]
+        return jnp.mean(jnp.stack(
+            [(w & 0xFF), (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+            -1).astype(jnp.float32)) * (1.0 / 255.0)
+
     def half_res_bilinear(c):
         u, v, x0, y0 = coords(c)
         hh, hw = H // 2, W // 2
@@ -124,6 +155,8 @@ def main():
     timed("nearest 1 gather u8", nearest1_u8)
     timed("packed-2x2 1 gather f32x12", packed1)
     timed("packed-2x2 1 gather bf16x12", packed1_bf16)
+    timed("packed-2x2 1 gather u32x4", packed1_u32)
+    timed("nearest 1 gather u32x1", nearest1_u32)
     timed("half-res bilinear + upsample", half_res_bilinear)
 
 

@@ -37,7 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..render import raster
 
-TILE_H = 32
+import os
+
+# 32x128 tiles: (8,128) is the VPU-native register shape, so a (32,128)
+# elementwise op costs 4 issue slots; smaller tiles lower per-entry cost but
+# raise entry counts and grid overhead. Overridable for experiments.
+TILE_H = int(os.environ.get("SMR_TILE_H", "32"))
 TILE_W = 128
 BASE_WIDTH = 16
 
@@ -193,6 +198,13 @@ def _bin(s, rows, width, height, e_max, chunk):
     return sorted_rows, start[:n_tiles], counts, big
 
 
+# entries processed per kernel loop iteration: per-entry scalar reads and
+# loop control dominated the sequential kernel (tile-height sweeps showed
+# ~2/3 fixed cost per entry), so entries are batched into sublane groups and
+# every plane is evaluated as one [GROUP, TILE_H, TILE_W] vector op
+GROUP = 8
+
+
 def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
                    b1_ref, b2_ref, attr_ref, scratch, sem, *, tiles_x,
                    n_attrs, chunk):
@@ -223,35 +235,49 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(k, slot, carry):
+    def body(g, slot, carry):
+        """One GROUP of entries: all plane math vectorized over the group
+        axis ([G,TH,TW] tensors, no per-entry scalar extracts), then the
+        per-entry depth/attr selects statically unrolled. Over-read entries
+        past the tile's count are safe: they are either later tiles' entries
+        (their exact coverage never touches this tile's pixels — binning is
+        bbox-conservative) or zero pad rows (valid=0)."""
         depth, tri, b1v, b2v, num, den = carry
-        srow = scratch[slot, k, :]
-        dx = xs - srow[0]
-        dy = ys - srow[1]
+        rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]      # [G, W]
+
+        def col(c):
+            return rg[:, c][:, None, None]                  # [G,1,1]
+
+        dx = xs[None] - col(0)                              # [G,TH,TW]
+        dy = ys[None] - col(1)
 
         def plane(base):
-            return srow[base] + srow[base + 1] * dx + srow[base + 2] * dy
+            return col(base) + col(base + 1) * dx + col(base + 2) * dy
 
-        w1 = srow[2] * dx + srow[3] * dy
-        w2 = srow[4] * dx + srow[5] * dy
-        w0 = 1.0 - w1 - w2
+        w1 = col(2) * dx + col(3) * dy
+        w2 = col(4) * dx + col(5) * dy
         zp = plane(6)
-        valid = srow[9] > 0.0
-        tid = srow[10].astype(jnp.int32)
-        cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
-        passed = cover & (zp <= depth) & (zp >= 0.0) & (zp <= 1.0)
-        depth = jnp.where(passed, zp, depth)
-        tri = jnp.where(passed, tid, tri)
-        b1v = jnp.where(passed, w1, b1v)
-        b2v = jnp.where(passed, w2, b2v)
-
+        valid = col(9) > 0.0
+        cover = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0) & valid
+        ok = cover & (zp >= 0.0) & (zp <= 1.0)
+        zm = jnp.where(ok, zp, 2.0)                         # 2.0 never wins
         if n_attrs:
-            den = jnp.where(passed, plane(BASE_WIDTH), den)
-            new_num = []
-            for a in range(n_attrs):
-                v = plane(BASE_WIDTH + 3 + 3 * a)
-                new_num.append(jnp.where(passed, v, num[a]))
-            num = jnp.stack(new_num)
+            den_p = plane(BASE_WIDTH)
+            num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
+        tid = rg[:, 10]                                     # [G]
+
+        for g_i in range(GROUP):                            # static unroll
+            zg = zm[g_i]
+            passed = zg <= depth
+            depth = jnp.where(passed, zg, depth)
+            tri = jnp.where(passed, tid[g_i].astype(jnp.int32), tri)
+            b1v = jnp.where(passed, w1[g_i], b1v)
+            b2v = jnp.where(passed, w2[g_i], b2v)
+            if n_attrs:
+                den = jnp.where(passed, den_p[g_i], den)
+                num = jnp.stack([
+                    jnp.where(passed, num_p[a][g_i], num[a])
+                    for a in range(n_attrs)])
         return depth, tri, b1v, b2v, num, den
 
     na = max(n_attrs, 1)
@@ -271,8 +297,9 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
 
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
+        n_groups = (n_here + GROUP - 1) // GROUP
         return jax.lax.fori_loop(
-            0, n_here, lambda k, cr: body(k, slot, cr), carry)
+            0, n_groups, lambda g, cr: body(g, slot, cr), carry)
 
     depth, tri, b1v, b2v, num, den = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
@@ -323,35 +350,39 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(k, slot, carry):
+    def body(g, slot, carry):
+        """One GROUP of entries, plane math vectorized over the group axis
+        (see _raster_kernel.body for the over-read safety argument)."""
         depth, tri, b1v, b2v, num, den, sdepth = carry
-        srow = scratch[slot, k, :]
-        dx = xs - srow[0]
-        dy = ys - srow[1]
+        rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
+
+        def col(c):
+            return rg[:, c][:, None, None]
+
+        dx = xs[None] - col(0)
+        dy = ys[None] - col(1)
 
         def plane(base):
-            return srow[base] + srow[base + 1] * dx + srow[base + 2] * dy
+            return col(base) + col(base + 1) * dx + col(base + 2) * dy
 
-        w1 = srow[2] * dx + srow[3] * dy
-        w2 = srow[4] * dx + srow[5] * dy
+        w1 = col(2) * dx + col(3) * dy
+        w2 = col(4) * dx + col(5) * dy
         zp = plane(6)
-        valid = srow[9] > 0.0
-        tid = srow[10].astype(jnp.int32)
+        valid = col(9) > 0.0
+        tid = rg[:, 10]
 
-        new_sdepth = []
+        szm = []
         cover_any = None
         for s, (ox, oy) in enumerate(MSAA4_OFFSETS):
-            dw1 = srow[2] * ox + srow[3] * oy        # scalar per entry
-            dw2 = srow[4] * ox + srow[5] * oy
-            dz = srow[7] * ox + srow[8] * oy
+            dw1 = col(2) * ox + col(3) * oy          # [G,1,1] per entry
+            dw2 = col(4) * ox + col(5) * oy
+            dz = col(7) * ox + col(8) * oy
             w1s = w1 + dw1
             w2s = w2 + dw2
             zs = zp + dz
             cover_s = (w1s >= 0) & (w2s >= 0) & (w1s + w2s <= 1.0) & valid
             cover_any = cover_s if cover_any is None else (cover_any | cover_s)
-            pass_s = cover_s & (zs <= sdepth[s]) & (zs >= 0.0)
-            new_sdepth.append(jnp.where(pass_s, zs, sdepth[s]))
-        sdepth = jnp.stack(new_sdepth)
+            szm.append(jnp.where(cover_s & (zs >= 0.0), zs, 2.0))
 
         # center visibility with any-sample coverage (edge pixels keep the
         # front surface's attributes even when the exact center is outside).
@@ -359,19 +390,26 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         # true center-covering triangle always beats an edge extrapolation —
         # the stored center visibility stays exact wherever it exists.
         cover_c = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0)
-        zb = zp + jnp.where(cover_c, 0.0, 2.0)
-        passed = cover_any & (zb <= depth) & (zp >= 0.0) & (zp <= 1.0)
-        depth = jnp.where(passed, zb, depth)
-        tri = jnp.where(passed, tid, tri)
-        b1v = jnp.where(passed, w1, b1v)
-        b2v = jnp.where(passed, w2, b2v)
+        zb = jnp.where(cover_any & (zp >= 0.0) & (zp <= 1.0),
+                       zp + jnp.where(cover_c, 0.0, 2.0), 4.0)
         if n_attrs:
-            den = jnp.where(passed, plane(BASE_WIDTH), den)
-            new_num = []
-            for a in range(n_attrs):
-                v = plane(BASE_WIDTH + 3 + 3 * a)
-                new_num.append(jnp.where(passed, v, num[a]))
-            num = jnp.stack(new_num)
+            den_p = plane(BASE_WIDTH)
+            num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
+
+        for g_i in range(GROUP):                     # static unroll
+            new_sd = [jnp.minimum(sdepth[s], szm[s][g_i]) for s in range(4)]
+            sdepth = jnp.stack(new_sd)
+            zg = zb[g_i]
+            passed = zg <= depth
+            depth = jnp.where(passed, zg, depth)
+            tri = jnp.where(passed, tid[g_i].astype(jnp.int32), tri)
+            b1v = jnp.where(passed, w1[g_i], b1v)
+            b2v = jnp.where(passed, w2[g_i], b2v)
+            if n_attrs:
+                den = jnp.where(passed, den_p[g_i], den)
+                num = jnp.stack([
+                    jnp.where(passed, num_p[a][g_i], num[a])
+                    for a in range(n_attrs)])
         return depth, tri, b1v, b2v, num, den, sdepth
 
     na = max(n_attrs, 1)
@@ -392,8 +430,9 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
 
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
+        n_groups = (n_here + GROUP - 1) // GROUP
         return jax.lax.fori_loop(
-            0, n_here, lambda k, cr: body(k, slot, cr), carry)
+            0, n_groups, lambda g, cr: body(g, slot, cr), carry)
 
     depth, tri, b1v, b2v, num, den, sdepth = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
@@ -414,6 +453,7 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
 
 def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
                    chunk):
+    assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
     pad_w = -(-width // TILE_W) * TILE_W
     pad_h = -(-height // TILE_H) * TILE_H
     tiles_x = pad_w // TILE_W
@@ -520,16 +560,26 @@ def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(k, slot, depth):
-        srow = scratch[slot, k, :]
-        dx = xs - srow[0]
-        dy = ys - srow[1]
-        w1 = srow[2] * dx + srow[3] * dy
-        w2 = srow[4] * dx + srow[5] * dy
-        zp = srow[6] + srow[7] * dx + srow[8] * dy
-        passed = ((w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0)
-                  & (zp <= depth) & (zp >= 0.0))
-        return jnp.where(passed, zp, depth)
+    def body(g, slot, depth):
+        # one GROUP of entries vectorized over the group axis; the min over
+        # the group needs no winner tracking (depth only). The valid lane
+        # guards over-read zero-pad rows (w1=w2=0 would cover everything).
+        rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
+
+        def col(c):
+            return rg[:, c][:, None, None]
+
+        dx = xs[None] - col(0)
+        dy = ys[None] - col(1)
+        w1 = col(2) * dx + col(3) * dy
+        w2 = col(4) * dx + col(5) * dy
+        zp = col(6) + col(7) * dx + col(8) * dy
+        ok = ((w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0) & (col(9) > 0.0)
+              & (zp >= 0.0))
+        zm = jnp.where(ok, zp, 2.0)
+        for g_i in range(GROUP):
+            depth = jnp.minimum(depth, zm[g_i])
+        return depth
 
     def chunk_body(c, depth):
         slot = jax.lax.rem(c, 2)
@@ -540,14 +590,16 @@ def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
 
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
+        n_groups = (n_here + GROUP - 1) // GROUP
         return jax.lax.fori_loop(
-            0, n_here, lambda k, d: body(k, slot, d), depth)
+            0, n_groups, lambda g, d: body(g, slot, d), depth)
 
     depth_ref[...] = jax.lax.fori_loop(
         0, n_chunks, chunk_body, jnp.ones((TILE_H, TILE_W), jnp.float32))
 
 
 def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
+    assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
     pad_w = -(-width // TILE_W) * TILE_W
     pad_h = -(-height // TILE_H) * TILE_H
     tiles_x = pad_w // TILE_W
@@ -612,6 +664,7 @@ def _interpret() -> bool:
 
 
 def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, chunk):
+    assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
     pad_w = -(-width // TILE_W) * TILE_W
     pad_h = -(-height // TILE_H) * TILE_H
     tiles_x = pad_w // TILE_W

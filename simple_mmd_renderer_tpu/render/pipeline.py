@@ -205,11 +205,17 @@ def _pack_atlas(part_textures):
 def _albedo_atlas(static, vis, uv_px, part_textures):
     """Single-pass atlas sampling: all parts' textures shelf-packed into one
     neighborhood-packed atlas, per-pixel part id from the triangle id, full
-    bilinear filtering from ONE bf16 gather per pixel."""
+    bilinear filtering from ONE gather per pixel. The 2x2 neighborhood is
+    bit-packed as 4 RGB888 u32 lanes (16 bytes/row): measured on TPU
+    (scripts/bench_gather.py) the u32x4 gather beats bf16x12 ~17% and the
+    4-gather f32 bilinear ~5x; sources are 8-bit so quantization is exact."""
     import numpy as np
     pn = len(part_textures)
     atlas, offsets, sizes = _pack_atlas(part_textures)
     atlas_w = atlas.shape[1]
+    q8 = np.clip(atlas * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    atlas_u32 = (q8[..., 0::3] | (q8[..., 1::3] << 8)
+                 | (q8[..., 2::3] << 16))            # [H,W,4] u32
 
     # part id per pixel: first part whose range contains the triangle id
     bounds = np.asarray(static.part_base, np.int32)
@@ -225,21 +231,24 @@ def _albedo_atlas(static, vis, uv_px, part_textures):
     v = uv_px[..., 1] * th - 0.5
     x0 = jnp.floor(u)
     y0 = jnp.floor(v)
-    # bf16 weights/taps: texture sources are 8-bit (exact in bf16); the
-    # filtering error is below one color level
-    fx = (u - x0)[..., None].astype(jnp.bfloat16)
-    fy = (v - y0)[..., None].astype(jnp.bfloat16)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-    flat = jnp.asarray(atlas, jnp.bfloat16).reshape(-1, 12)
+    flat = jnp.asarray(atlas_u32).reshape(-1, 4)
 
     # repeat wrap within the part's own extent, then shift into the atlas
     xm = jnp.mod(x0, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
     ym = jnp.mod(y0, jnp.maximum(th.astype(jnp.int32), 1)) + oy
-    q = flat[ym * atlas_w + xm]          # [.., 12] = c00 c10 c01 c11
-    top = q[..., 0:3] * (1 - fx) + q[..., 3:6] * fx
-    bot = q[..., 6:9] * (1 - fx) + q[..., 9:12] * fx
-    return (top * (1 - fy) + bot * fy).astype(jnp.float32)
+    q = flat[ym * atlas_w + xm]          # [.., 4] u32 = c00 c10 c01 c11
+
+    def rgb(i):
+        w = q[..., i]
+        return jnp.stack([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+                         -1).astype(jnp.float32)
+    top = rgb(0) * (1 - fx) + rgb(1) * fx
+    bot = rgb(2) * (1 - fx) + rgb(3) * fx
+    return (top * (1 - fy) + bot * fy) * (1.0 / 255.0)
 
 
 def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
