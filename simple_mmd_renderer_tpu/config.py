@@ -105,3 +105,6 @@ class AppConfig:
     # the BDEF2 matrix-lerp fallback, its true path is commented out at
     # poser_impl.inl:438-458). Default False = reference behavior.
     sdef_true: bool = False
+    # Apply UV morphs and material morphs at render time (beyond-parity:
+    # the reference parses both and applies neither, poser_impl.inl:355-358).
+    apply_extended_morphs: bool = False

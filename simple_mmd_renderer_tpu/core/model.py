@@ -95,6 +95,17 @@ class ModelStatic:
     bm_bone: np.ndarray        # [KB] i32
     bm_trans: np.ndarray       # [KB,3] f32
     bm_rot: np.ndarray         # [KB,4] f32
+    # UV morphs (MORPH_UV on the primary channel; ext-UV channels are parsed
+    # but not rendered) and material morphs — the reference parses both and
+    # applies neither (poser_impl.inl:355-358); application here is the
+    # opt-in AppConfig.apply_extended_morphs path
+    um_morph: np.ndarray       # [KU] i32 leaf morph id
+    um_vertex: np.ndarray      # [KU] i32
+    um_offset: np.ndarray      # [KU,2] f32 (du, dv)
+    mm_morph: np.ndarray       # [KM] i32 leaf morph id (part-expanded)
+    mm_part: np.ndarray        # [KM] i32 (the -1 = all-materials form expanded)
+    mm_method: np.ndarray      # [KM] i32 0=mul 1=add
+    mm_payload: np.ndarray     # [KM,28] f32 (pmx material-morph field order)
     # --- parts / materials (render)
     part_base: np.ndarray      # [Pn] i32 first triangle
     part_count: np.ndarray     # [Pn] i32
@@ -349,6 +360,9 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
     expand = _expand_group_morphs(morphs)
     vm_m, vm_v, vm_o = [], [], []
     bm_m, bm_b, bm_t, bm_r = [], [], [], []
+    um_m, um_v, um_o = [], [], []
+    mm_m, mm_p, mm_me, mm_pl = [], [], [], []
+    n_parts = len(pm.materials)
     for mi, mo in enumerate(morphs):
         if mo.type == P.MORPH_VERTEX:
             vm_m.append(np.full(len(mo.vertex_indices), mi, np.int32))
@@ -359,6 +373,19 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
             bm_b.append(mo.bone_indices.astype(np.int32))
             bm_t.append(mo.bone_translations.astype(np.float32))
             bm_r.append(mo.bone_rotations.astype(np.float32))
+        elif mo.type == P.MORPH_UV and mo.uv_vertex_indices is not None:
+            um_m.append(np.full(len(mo.uv_vertex_indices), mi, np.int32))
+            um_v.append(mo.uv_vertex_indices.astype(np.int32))
+            um_o.append(mo.uv_offsets[:, :2].astype(np.float32))
+        elif mo.type == P.MORPH_MATERIAL and mo.material_indices is not None:
+            for j in range(len(mo.material_indices)):
+                parts = (range(n_parts) if mo.material_indices[j] < 0
+                         else [int(mo.material_indices[j])])
+                for p in parts:
+                    mm_m.append(mi)
+                    mm_p.append(p)
+                    mm_me.append(int(mo.material_methods[j]))
+                    mm_pl.append(mo.material_payload[j].astype(np.float32))
     cat = lambda xs, shape, dt: (np.concatenate(xs) if xs else np.zeros(shape, dt))
 
     # --- parts
@@ -403,6 +430,14 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
         bm_bone=cat(bm_b, (0,), np.int32),
         bm_trans=cat(bm_t, (0, 3), np.float32),
         bm_rot=cat(bm_r, (0, 4), np.float32),
+        um_morph=cat(um_m, (0,), np.int32),
+        um_vertex=cat(um_v, (0,), np.int32),
+        um_offset=cat(um_o, (0, 2), np.float32),
+        mm_morph=np.asarray(mm_m, np.int32),
+        mm_part=np.asarray(mm_p, np.int32),
+        mm_method=np.asarray(mm_me, np.int32),
+        mm_payload=(np.stack(mm_pl).astype(np.float32) if mm_pl
+                    else np.zeros((0, 28), np.float32)),
         part_base=part_base, part_count=part_count, part_tex=part_tex,
         materials=pm.materials, textures=pm.textures,
         rigid_bodies=pm.rigid_bodies, constraints=pm.constraints,

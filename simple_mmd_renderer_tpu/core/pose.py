@@ -37,6 +37,8 @@ class PoseArrays:
     pre_ik_rot: jnp.ndarray     # [B,4]
     ik_rot: jnp.ndarray         # [B,4]
     vertex_offsets: jnp.ndarray # [N,3] vertex morph accumulator
+    leaf_rates: jnp.ndarray     # [M] group-expanded morph rates (extended
+                                # morph application reads these downstream)
 
 
 def init_pose(static: ModelStatic) -> PoseArrays:
@@ -50,6 +52,7 @@ def init_pose(static: ModelStatic) -> PoseArrays:
         pre_ik_rot=m3.quat_identity((b,)),
         ik_rot=m3.quat_identity((b,)),
         vertex_offsets=jnp.zeros((n, 3), jnp.float32),
+        leaf_rates=jnp.zeros((static.n_morphs,), jnp.float32),
     )
 
 
@@ -58,7 +61,8 @@ def init_pose(static: ModelStatic) -> PoseArrays:
 # ---------------------------------------------------------------------------
 
 def apply_morphs(static: ModelStatic, morph_rates: jnp.ndarray):
-    """-> (vertex_offsets [N,3], morph_rot [B,4], morph_trans [B,3]).
+    """-> (vertex_offsets [N,3], morph_rot [B,4], morph_trans [B,3],
+    leaf_rates [M]).
 
     Group morphs are pre-expanded into leaf rates (model.build_model); the
     reference's `rate < eps` skip is applied to the summed leaf rate.
@@ -69,7 +73,8 @@ def apply_morphs(static: ModelStatic, morph_rates: jnp.ndarray):
     morph_rot = m3.quat_identity((b,))
     morph_trans = jnp.zeros((b, 3), jnp.float32)
     if static.n_morphs == 0:
-        return vertex_offsets, morph_rot, morph_trans
+        return vertex_offsets, morph_rot, morph_trans, jnp.zeros(
+            (0,), jnp.float32)
 
     leaf = morph_rates @ jnp.asarray(static.morph_expand)
     leaf = jnp.where(leaf >= _EPS, leaf, 0.0)
@@ -99,7 +104,55 @@ def apply_morphs(static: ModelStatic, morph_rates: jnp.ndarray):
 
         morph_rot, _ = jax.lax.scan(step, morph_rot, (bones, rots, rates))
 
-    return vertex_offsets, morph_rot, morph_trans
+    return vertex_offsets, morph_rot, morph_trans, leaf
+
+
+def uv_morph_offsets(static: ModelStatic, leaf_rates: jnp.ndarray):
+    """[N,2] UV offsets from MORPH_UV entries at the given leaf rates.
+
+    Beyond-parity: the reference parses UV morphs and never applies them
+    (poser_impl.inl:355-358). Gated by AppConfig.apply_extended_morphs."""
+    n = len(static.positions)
+    out = jnp.zeros((n, 2), jnp.float32)
+    if len(static.um_morph) == 0 or static.n_morphs == 0:
+        return out
+    rates = leaf_rates[jnp.asarray(static.um_morph)]
+    return out.at[jnp.asarray(static.um_vertex)].add(
+        jnp.asarray(static.um_offset) * rates[:, None])
+
+
+def material_morph_factors(static: ModelStatic, leaf_rates: jnp.ndarray):
+    """-> (mul [P,3], add [P,3]) albedo modifiers from material morphs.
+
+    PMX material-morph semantics per entry with weight w: multiply sets
+    v *= lerp(1, payload, w), additive sets v += payload * w. The payload's
+    diffuse RGB (floats 0:3) and texture tint RGB (floats 16:19) both scale
+    the sampled albedo in this renderer's shading model, so their effects
+    are combined here. Beyond-parity (the reference applies none of it)."""
+    pn = len(static.part_base)
+    mul = jnp.ones((pn, 3), jnp.float32)
+    add = jnp.zeros((pn, 3), jnp.float32)
+    if len(static.mm_morph) == 0 or static.n_morphs == 0:
+        return mul, add
+    w = leaf_rates[jnp.asarray(static.mm_morph)][:, None]      # [K,1]
+    pay = jnp.asarray(static.mm_payload)
+    diff = pay[:, 0:3]
+    tint = pay[:, 16:19]
+    parts = jnp.asarray(static.mm_part)
+    is_mul = (jnp.asarray(static.mm_method) == 0)[:, None]
+    # multiply entries compose multiplicatively per part; a scan keeps the
+    # exact product in table order (entry counts are tiny)
+    factor = jnp.where(is_mul, (1 + w * (diff - 1)) * (1 + w * (tint - 1)),
+                       1.0)
+    term = jnp.where(is_mul, 0.0, w * (diff + tint))
+
+    def step(carry, inp):
+        mul, add = carry
+        p, f, t = inp
+        return (mul.at[p].multiply(f), add.at[p].add(t)), None
+
+    (mul, add), _ = jax.lax.scan(step, (mul, add), (parts, factor, term))
+    return mul, add
 
 
 # ---------------------------------------------------------------------------
@@ -362,8 +415,9 @@ def pre_physics_posing(static: ModelStatic, anim_rot, anim_trans,
     """PrePhysicsPosing (poser_impl.inl:362-389): clear, morphs, FK+IK over
     pre-physics bones, skinning matrices for those bones."""
     pose = init_pose(static)
-    vertex_offsets, morph_rot, morph_trans = apply_morphs(static, morph_rates)
-    pose = pose.replace(vertex_offsets=vertex_offsets)
+    vertex_offsets, morph_rot, morph_trans, leaf = apply_morphs(static,
+                                                                morph_rates)
+    pose = pose.replace(vertex_offsets=vertex_offsets, leaf_rates=leaf)
     pose = _run_segments(static, pose, static.pre_segments,
                          anim_rot, anim_trans, morph_rot, morph_trans)
     pre_bones = _segment_bones(static.pre_segments)
@@ -374,7 +428,7 @@ def post_physics_posing(static: ModelStatic, pose: PoseArrays, anim_rot,
                         anim_trans, morph_rates) -> PoseArrays:
     """PostPhysicsPosing (poser_impl.inl:391-394)."""
     if static.n_morphs:
-        _, morph_rot, morph_trans = apply_morphs(static, morph_rates)
+        _, morph_rot, morph_trans, _ = apply_morphs(static, morph_rates)
     else:
         morph_rot = m3.quat_identity((static.n_bones,))
         morph_trans = jnp.zeros((static.n_bones, 3), jnp.float32)

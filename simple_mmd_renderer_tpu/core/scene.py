@@ -112,11 +112,20 @@ class Scene:
                 rcfg, camera_pos=cam["eye"] * scale,
                 camera_target=cam["target"] * scale,
                 camera_fov_deg=cam["fov_deg"])
+        uv_off, part_color = None, None
+        if self.config.apply_extended_morphs and self.static.n_morphs:
+            if len(self.static.um_morph) and self.part_textures is not None:
+                uv_off = pose_mod.uv_morph_offsets(self.static,
+                                                   pose.leaf_rates)
+            if len(self.static.mm_morph):
+                part_color = pose_mod.material_morph_factors(
+                    self.static, pose.leaf_rates)
         image = render_frame(self.static, positions, normals,
                              rcfg,
                              part_textures=self.part_textures,
                              cubemap=self.cubemap,
-                             width=width, height=height)
+                             width=width, height=height,
+                             uv_offsets=uv_off, part_color=part_color)
         return state, image
 
     def jit_step(self, render: bool = True, width=None, height=None,

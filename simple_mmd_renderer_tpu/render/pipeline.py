@@ -253,7 +253,7 @@ def _albedo_atlas(static, vis, uv_px, part_textures):
 
 def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                  part_textures=None, cubemap=None, model_mat=None,
-                 width=None, height=None):
+                 width=None, height=None, uv_offsets=None, part_color=None):
     """Full main-pass image, [H,W,3] float32 in [0,1].
 
     positions_mmd/normals: deformed vertices from core.pose.deform (MMD
@@ -272,7 +272,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         big = render_frame(static, positions_mmd, normals, sub,
                            part_textures=part_textures, cubemap=cubemap,
                            model_mat=model_mat, width=2 * width,
-                           height=2 * height)
+                           height=2 * height, uv_offsets=uv_offsets,
+                           part_color=part_color)
         return big.reshape(height, 2, width, 2, 3).mean(axis=(1, 3))
     mats = build_matrices(cfg, model_mat, aspect=width / height)
 
@@ -335,7 +336,11 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     clip = raster.transform_clip(verts_m, mats["mvp"])
     attr_list = [jnp.asarray(normals)]
     if part_textures is not None:
-        attr_list.append(jnp.asarray(static.uvs))
+        uvs = jnp.asarray(static.uvs)
+        if uv_offsets is not None:
+            # UV morphs (beyond-parity, AppConfig.apply_extended_morphs)
+            uvs = uvs + uv_offsets
+        attr_list.append(uvs)
     attrs = jnp.concatenate(attr_list, -1)
     sdepth = None
     if raster_fn is raster.rasterize:
@@ -368,6 +373,15 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         albedo = jnp.ones((height, width, 3), jnp.float32)
     else:
         albedo = character_albedo(static, vis, uv_px, part_textures)
+    if part_color is not None:
+        # material-morph albedo modulation (beyond-parity)
+        mm_mul, mm_add = part_color
+        import numpy as _np
+        bounds = jnp.asarray(_np.asarray(static.part_base, _np.int32))
+        pid = jnp.clip(jnp.searchsorted(bounds, jnp.maximum(vis.tri, 0),
+                                        side="right") - 1,
+                       0, len(static.part_base) - 1)
+        albedo = jnp.clip(albedo * mm_mul[pid] + mm_add[pid], 0.0, None)
 
     char_color = shade.shade_character(
         albedo, nrm_px, world_px, jnp.asarray(cfg.camera_pos, jnp.float32),
