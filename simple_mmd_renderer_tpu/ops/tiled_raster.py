@@ -111,14 +111,9 @@ def _setup_rows(s, tri_ids, attrs=None):
     return jnp.stack(cols, axis=-1)
 
 
-def _bin(s, rows, width, height, e_max, chunk):
-    """-> (sorted_rows [T*E + chunk pad, W], starts [n_tiles],
-    counts [n_tiles], big_mask [T]).
-
-    Entries are sorted by tile (stable, preserving draw order) and the ROWS
-    are gathered into that order, so each tile's entries are contiguous: the
-    kernel DMAs its [start, start+K) window straight from HBM — no dense-bin
-    scatter (which costs more than everything else in this pass combined)."""
+def _expand_tiles(s, width, height, e_max):
+    """Per-triangle covered-tile enumeration -> (tile [T, E] with n_tiles
+    for invalid/pad slots, big [T] oversized-triangle mask)."""
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     n_tiles = tiles_x * tiles_y
@@ -159,6 +154,21 @@ def _bin(s, rows, width, height, e_max, chunk):
     tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)  # [T,E]
     mask = small[:, None] & (e < n_cover[:, None])
     tile = jnp.where(mask, tile, n_tiles)                     # invalid -> pad
+    return tile, big
+
+
+def _bin(s, rows, width, height, e_max, chunk):
+    """-> (sorted_rows [T*E + chunk pad, W], starts [n_tiles],
+    counts [n_tiles], big_mask [T]).
+
+    Entries are sorted by tile (stable, preserving draw order) and the ROWS
+    are gathered into that order, so each tile's entries are contiguous: the
+    kernel DMAs its [start, start+K) window straight from HBM — no dense-bin
+    scatter (which costs more than everything else in this pass combined)."""
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    n_tiles = tiles_x * tiles_y
+    tile, big = _expand_tiles(s, width, height, e_max)
 
     flat_tile = tile.reshape(-1)
     t = tile.shape[0]
@@ -207,10 +217,11 @@ GROUP = 8
 
 def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
                    b1_ref, b2_ref, attr_ref, scratch, sem, *, tiles_x,
-                   n_attrs, chunk):
+                   n_attrs, chunk, inst_tiles=0):
     i = pl.program_id(0)
-    ty = i // tiles_x
-    tx = i % tiles_x
+    local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
+    ty = local // tiles_x
+    tx = local % tiles_x
     y0 = (ty * TILE_H).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
     ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
@@ -235,13 +246,15 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(g, slot, carry):
+    def body(g, slot, limit, carry):
         """One GROUP of entries: all plane math vectorized over the group
         axis ([G,TH,TW] tensors, no per-entry scalar extracts), then the
-        per-entry depth/attr selects statically unrolled. Over-read entries
-        past the tile's count are safe: they are either later tiles' entries
-        (their exact coverage never touches this tile's pixels — binning is
-        bbox-conservative) or zero pad rows (valid=0)."""
+        per-entry depth/attr selects statically unrolled. The trailing
+        group is masked to `limit` entries: over-read rows may belong to a
+        DIFFERENT instance in the fused crowd grid (whose coverage is
+        unrelated to this tile) — within one instance they would be later
+        tiles' entries or valid=0 pad rows, but the mask makes all cases
+        safe."""
         depth, tri, b1v, b2v, num, den = carry
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]      # [G, W]
 
@@ -260,7 +273,9 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         valid = col(9) > 0.0
         cover = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0) & valid
         ok = cover & (zp >= 0.0) & (zp <= 1.0)
-        zm = jnp.where(ok, zp, 2.0)                         # 2.0 never wins
+        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+                < limit - g * GROUP)
+        zm = jnp.where(ok & in_r, zp, 2.0)                  # 2.0 never wins
         if n_attrs:
             den_p = plane(BASE_WIDTH)
             num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
@@ -299,19 +314,19 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
         return jax.lax.fori_loop(
-            0, n_groups, lambda g, cr: body(g, slot, cr), carry)
+            0, n_groups, lambda g, cr: body(g, slot, n_here, cr), carry)
 
     depth, tri, b1v, b2v, num, den = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
-    depth_ref[...] = depth
-    tri_ref[...] = tri
-    b1_ref[...] = b1v
-    b2_ref[...] = b2v
+    depth_ref[...] = depth.reshape(depth_ref.shape)
+    tri_ref[...] = tri.reshape(tri_ref.shape)
+    b1_ref[...] = b1v.reshape(b1_ref.shape)
+    b2_ref[...] = b2v.reshape(b2_ref.shape)
     if n_attrs:
         safe = jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
-        attr_ref[...] = num / safe[None, :, :]
+        attr_ref[...] = (num / safe[None, :, :]).reshape(attr_ref.shape)
     else:
-        attr_ref[...] = num
+        attr_ref[...] = num.reshape(attr_ref.shape)
 
 
 # D3D11/OpenGL standard 4x MSAA sample pattern (pixel units from center)
@@ -350,9 +365,9 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(g, slot, carry):
+    def body(g, slot, limit, carry):
         """One GROUP of entries, plane math vectorized over the group axis
-        (see _raster_kernel.body for the over-read safety argument)."""
+        (see _raster_kernel.body for the tail-mask rationale)."""
         depth, tri, b1v, b2v, num, den, sdepth = carry
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
 
@@ -390,7 +405,10 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         # true center-covering triangle always beats an edge extrapolation —
         # the stored center visibility stays exact wherever it exists.
         cover_c = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0)
-        zb = jnp.where(cover_any & (zp >= 0.0) & (zp <= 1.0),
+        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+                < limit - g * GROUP)
+        szm = [jnp.where(in_r, z, 2.0) for z in szm]
+        zb = jnp.where(cover_any & in_r & (zp >= 0.0) & (zp <= 1.0),
                        zp + jnp.where(cover_c, 0.0, 2.0), 4.0)
         if n_attrs:
             den_p = plane(BASE_WIDTH)
@@ -432,7 +450,7 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
         return jax.lax.fori_loop(
-            0, n_groups, lambda g, cr: body(g, slot, cr), carry)
+            0, n_groups, lambda g, cr: body(g, slot, n_here, cr), carry)
 
     depth, tri, b1v, b2v, num, den, sdepth = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
@@ -531,15 +549,16 @@ def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
 
 
 def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
-                  *, tiles_x, chunk):
+                  *, tiles_x, chunk, inst_tiles=0):
     """Depth-only variant of _raster_kernel for shadow maps: no tri/bary/attr
     accumulators, no per-entry valid lane (binned entries are valid by
     construction) and no zp<=1 test (implied by zp <= depth, depth0 = 1) —
     roughly half the per-entry VPU ops and one output buffer instead of five.
     """
     i = pl.program_id(0)
-    ty = i // tiles_x
-    tx = i % tiles_x
+    local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
+    ty = local // tiles_x
+    tx = local % tiles_x
     y0 = (ty * TILE_H).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
     ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
@@ -560,10 +579,11 @@ def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(g, slot, depth):
+    def body(g, slot, limit, depth):
         # one GROUP of entries vectorized over the group axis; the min over
-        # the group needs no winner tracking (depth only). The valid lane
-        # guards over-read zero-pad rows (w1=w2=0 would cover everything).
+        # the group needs no winner tracking (depth only). The tail mask
+        # covers over-read rows (other instances' entries in the fused
+        # crowd grid, or valid=0 pad rows).
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
 
         def col(c):
@@ -576,7 +596,9 @@ def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
         zp = col(6) + col(7) * dx + col(8) * dy
         ok = ((w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0) & (col(9) > 0.0)
               & (zp >= 0.0))
-        zm = jnp.where(ok, zp, 2.0)
+        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+                < limit - g * GROUP)
+        zm = jnp.where(ok & in_r, zp, 2.0)
         for g_i in range(GROUP):
             depth = jnp.minimum(depth, zm[g_i])
         return depth
@@ -592,10 +614,11 @@ def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
         return jax.lax.fori_loop(
-            0, n_groups, lambda g, d: body(g, slot, d), depth)
+            0, n_groups, lambda g, d: body(g, slot, n_here, d), depth)
 
     depth_ref[...] = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, jnp.ones((TILE_H, TILE_W), jnp.float32))
+        0, n_chunks, chunk_body,
+        jnp.ones((TILE_H, TILE_W), jnp.float32)).reshape(depth_ref.shape)
 
 
 def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
@@ -863,3 +886,182 @@ def _scan_subset(clip, tris, width, height, s):
         (s["xy"], s["z"], s["area2"], s["valid"],
          jnp.arange(t, dtype=jnp.int32)))
     return raster.VisBuffer(depth=depth, tri=tri_id, bary=bary)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-instance (crowd) raster: ONE sort and ONE kernel launch over
+# instance x tile — vmapping the single-instance path pays per-instance
+# fixed costs (batched small sorts, small pallas grids) that dominate at
+# crowd viewport sizes.
+# ---------------------------------------------------------------------------
+
+def _bin_multi(s, rows, width, height, chunk):
+    """Batched setup dicts (leading instance axis) -> fused bin tables.
+
+    e_max = n_tiles (covers-all): no big-triangle path, exact for any
+    geometry. -> (sorted_rows [I*T*E + pad, 128-aligned W], starts
+    [I*n_tiles], counts [I*n_tiles])."""
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    n_tiles = tiles_x * tiles_y
+    n_inst, t = rows.shape[0], rows.shape[1]
+
+    tile, _ = jax.vmap(
+        lambda si: _expand_tiles(si, width, height, n_tiles))(s)  # [I,T,E]
+    inst = jnp.arange(n_inst, dtype=jnp.int32)[:, None, None]
+    gtile = jnp.where(tile < n_tiles, inst * n_tiles + tile,
+                      n_inst * n_tiles)
+    gtri = (inst * t
+            + jnp.arange(t, dtype=jnp.int32)[None, :, None])  # [I,T,1]
+    gtri = jnp.broadcast_to(gtri, gtile.shape)
+
+    shift = 18
+    assert n_inst * t < (1 << shift), \
+        "instances x triangles exceeds packed sort key space"
+    assert n_inst * n_tiles + 1 <= (1 << (31 - shift)), \
+        "instances x tiles exceeds key space"
+    packed = jax.lax.sort(
+        (gtile * (1 << shift) + gtri).reshape(-1), is_stable=False)
+    sorted_tri = packed & ((1 << shift) - 1)
+    start = jnp.searchsorted(
+        packed,
+        jnp.arange(n_inst * n_tiles + 1, dtype=jnp.int32) * (1 << shift),
+        side="left").astype(jnp.int32)
+    counts = (start[1:] - start[:-1]).astype(jnp.int32)
+
+    flat_rows = rows.reshape(n_inst * t, rows.shape[2])
+    sorted_rows = flat_rows[sorted_tri]
+    lane_pad = (-rows.shape[2]) % 128
+    sorted_rows = jnp.pad(sorted_rows, ((0, chunk), (0, lane_pad)))
+    return sorted_rows, start[:n_inst * n_tiles], counts
+
+
+def _run_kernel_multi(sorted_rows, starts, counts, n_inst, width, height,
+                      n_attrs, chunk):
+    assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
+    pad_w = -(-width // TILE_W) * TILE_W
+    pad_h = -(-height // TILE_H) * TILE_H
+    tiles_x = pad_w // TILE_W
+    n_tiles = (pad_h // TILE_H) * tiles_x
+    na = max(n_attrs, 1)
+    row_w = sorted_rows.shape[1]
+
+    def idx(i, s, c):
+        return (i // n_tiles, (i % n_tiles) // tiles_x,
+                (i % n_tiles) % tiles_x)
+
+    tile_spec = lambda: pl.BlockSpec((1, TILE_H, TILE_W), idx,
+                                     memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_inst * n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            tile_spec(), tile_spec(), tile_spec(), tile_spec(),
+            pl.BlockSpec((1, na, TILE_H, TILE_W),
+                         lambda i, s, c: (i // n_tiles, 0,
+                                          (i % n_tiles) // tiles_x,
+                                          (i % n_tiles) % tiles_x),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, tri, b1, b2, attr = pl.pallas_call(
+        partial(_raster_kernel, tiles_x=tiles_x, n_attrs=n_attrs,
+                chunk=chunk, inst_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, na, pad_h, pad_w), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(starts, counts, sorted_rows)
+    vis = raster.VisBuffer(
+        depth=depth[:, :height, :width],
+        tri=tri[:, :height, :width],
+        bary=jnp.stack([b1[:, :height, :width], b2[:, :height, :width]], -1))
+    return vis, attr[:, :, :height, :width]
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
+                                cull=raster.CULL_BACK, chunk=256):
+    """Fused multi-instance raster + attribute interpolation.
+
+    clip [I,V,4], tris [T,3] (shared topology), attrs [I,V,A] ->
+    (VisBuffer with leading instance axis, attr [I,H,W,A]). Exact for any
+    geometry (covers-all binning, no big-tri cap); per-pixel/per-entry
+    semantics identical to rasterize_attrs_tiled."""
+    def per_inst(clip_i, attrs_i):
+        g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
+        s = raster.setup(clip_i, tris, width, height, cull, cv=g[..., :4])
+        s["va"] = g[..., 4:]
+        return s
+
+    s = jax.vmap(per_inst)(clip, attrs)
+    rows = jax.vmap(
+        lambda si, ai: _setup_rows(
+            si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
+    sorted_rows, starts, counts = _bin_multi(s, rows, width, height, chunk)
+    vis, attr = _run_kernel_multi(sorted_rows, starts, counts,
+                                  clip.shape[0], width, height,
+                                  attrs.shape[-1], chunk)
+    attr = jnp.moveaxis(attr, 1, -1)
+    attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
+    return vis, attr
+
+
+def _run_depth_kernel_multi(sorted_rows, starts, counts, n_inst, width,
+                            height, chunk):
+    assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
+    pad_w = -(-width // TILE_W) * TILE_W
+    pad_h = -(-height // TILE_H) * TILE_H
+    tiles_x = pad_w // TILE_W
+    n_tiles = (pad_h // TILE_H) * tiles_x
+    row_w = sorted_rows.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_inst * n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda i, s, c: (i // n_tiles,
+                                          (i % n_tiles) // tiles_x,
+                                          (i % n_tiles) % tiles_x),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, = pl.pallas_call(
+        partial(_depth_kernel, tiles_x=tiles_x, chunk=chunk,
+                inst_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32)],
+        interpret=_interpret(),
+    )(starts, counts, sorted_rows)
+    return depth[:, :height, :width]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def rasterize_depth_tiled_crowd(clip, tris, width, height,
+                                cull=raster.CULL_FRONT, chunk=256):
+    """Fused multi-instance depth-only raster (crowd shadow maps).
+
+    clip [I,V,4], tris [T,3] -> depth [I,H,W]."""
+    s = jax.vmap(
+        lambda c: raster.setup(c, tris, width, height, cull))(clip)
+    rows = jax.vmap(
+        lambda si: _setup_rows(
+            si, jnp.arange(tris.shape[0], dtype=jnp.int32)))(s)
+    sorted_rows, starts, counts = _bin_multi(s, rows, width, height, chunk)
+    return _run_depth_kernel_multi(sorted_rows, starts, counts,
+                                   clip.shape[0], width, height, chunk)

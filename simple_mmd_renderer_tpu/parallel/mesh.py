@@ -39,12 +39,30 @@ def crowd_init(scene: Scene, n: int, phase_frames: float = 7.0) -> SimState:
 
 
 def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None):
-    """vmapped per-frame function over the instance axis."""
-    if render:
-        fn = partial(scene.step_and_render, width=width, height=height)
-    else:
-        fn = scene.step_pose
-    return jax.vmap(fn)
+    """Per-frame crowd function over the instance axis.
+
+    When the config allows it, rendering goes through the FUSED
+    multi-instance raster (render.pipeline.crowd_render_frame): one binning
+    sort and one kernel launch across all instances, instead of vmapping
+    the single-instance pipeline (whose per-instance fixed costs dominate
+    at crowd viewport sizes). Anything the fused path doesn't cover
+    (textures, skybox, MSAA, VMD camera) falls back to the vmap."""
+    if not render:
+        return jax.vmap(scene.step_pose)
+
+    from ..render.pipeline import (crowd_render_frame,
+                                   crowd_render_supported)
+    if crowd_render_supported(scene.config.render, scene.part_textures,
+                              scene.cubemap, scene.camera):
+        def step(state):
+            state, pose, positions, normals = jax.vmap(scene.step_pose)(state)
+            images = crowd_render_frame(scene.static, positions, normals,
+                                        scene.config.render, width, height)
+            return state, images
+        return step
+
+    return jax.vmap(partial(scene.step_and_render, width=width,
+                            height=height))
 
 
 def shard_crowd(state: SimState, mesh: Mesh, axis: str = "data") -> SimState:

@@ -251,6 +251,95 @@ def _albedo_atlas(static, vis, uv_px, part_textures):
     return (top * (1 - fy) + bot * fy) * (1.0 / 255.0)
 
 
+def crowd_render_supported(cfg: RenderConfig, part_textures=None,
+                           cubemap=None, camera=None) -> bool:
+    """True when the fused multi-instance render path covers the config:
+    flat albedo, no skybox, no per-instance camera, no MSAA, tiled raster
+    active. Anything else falls back to vmap(render_frame)."""
+    return (part_textures is None and cubemap is None and camera is None
+            and not cfg.show_skybox and cfg.msaa < 4
+            and _pick_raster(cfg, 10_000) is not raster.rasterize)
+
+
+def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
+                       width=None, height=None):
+    """Fused multi-instance frame: positions/normals carry a leading
+    instance axis; ONE binning sort and ONE kernel launch cover all
+    instances' character and shadow rasters (ops/tiled_raster crowd path).
+    vmapping render_frame instead pays per-instance fixed costs (batched
+    small sorts, tiny pallas grids) that dominate at crowd viewport sizes.
+    Camera-shared work (ground geometry, ray grid) is computed once and
+    broadcast. -> [I, H, W, 3]."""
+    from ..ops.tiled_raster import (rasterize_attrs_tiled_crowd,
+                                    rasterize_depth_tiled_crowd)
+    width = width or cfg.width
+    height = height or cfg.height
+    n_inst = positions_mmd.shape[0]
+    mats = build_matrices(cfg, None, aspect=width / height)
+    verts_m = positions_mmd * cfg.mmd_to_meter
+    tris = jnp.asarray(static.triangles)[:, ::-1]
+
+    # --- shadow maps (per instance, one fused launch)
+    if cfg.shadows_enabled:
+        sclip = jax.vmap(
+            lambda v: raster.transform_clip(v, mats["light_mvp"]))(verts_m)
+        shadow_maps = rasterize_depth_tiled_crowd(
+            sclip, tris, cfg.shadow_map_size, cfg.shadow_map_size,
+            raster.CULL_FRONT)
+
+    # --- background + ground: camera-shared, computed once
+    color1 = jnp.broadcast_to(jnp.asarray(cfg.clear_color, jnp.float32),
+                              (height, width, 3))
+    if cfg.show_ground:
+        ground_mask, gpos, ground_depth = ground_pass(
+            cfg, mats["view"], mats["proj"], width, height)
+        if cfg.shadows_enabled:
+            ds = max(int(cfg.shadow_lookup_downsample), 1)
+            if ds > 1 and width % ds == 0 and height % ds == 0:
+                lw, lh = width // ds, height // ds
+                _, gpos_l, _ = ground_pass(cfg, mats["view"], mats["proj"],
+                                           lw, lh)
+            else:
+                lw, lh = width, height
+                gpos_l = gpos
+            lclip = raster.transform_clip(
+                gpos_l.reshape(-1, 3), mats["light_vp"]).reshape(lh, lw, 4)
+
+            def lit_one(smap):
+                lm = shade.ground_lit_map(smap, mats["light_vp"])
+                lo = shade.ground_shadow_lookup(lclip, lm, jnp.asarray(True))
+                if (lh, lw) != (height, width):
+                    lo = jax.image.resize(lo, (height, width, 1), "linear")
+                return lo
+
+            lit = jax.vmap(lit_one)(shadow_maps)              # [I,H,W,1]
+        else:
+            lit = jnp.ones((n_inst, height, width, 1), jnp.float32)
+        gcolor = jnp.ones(3, jnp.float32) * 0.7 * lit
+        color = jnp.where(ground_mask[None, ..., None], gcolor,
+                          color1[None])
+    else:
+        ground_depth = jnp.ones((height, width), jnp.float32)
+        color = jnp.broadcast_to(color1[None],
+                                 (n_inst, height, width, 3))
+
+    # --- character (fused raster + shared-camera unproject)
+    clip = jax.vmap(lambda v: raster.transform_clip(v, mats["mvp"]))(verts_m)
+    vis, attr_px = rasterize_attrs_tiled_crowd(
+        clip, tris, jnp.asarray(normals), width, height, raster.CULL_BACK)
+    char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth[None])
+    vp = mats["proj"] @ mats["view"]
+    world_px = jax.vmap(
+        lambda d: unproject_depth(d, vp, width, height))(vis.depth)
+    albedo = jnp.ones((height, width, 3), jnp.float32)
+    char_color = jax.vmap(
+        lambda n, wp: shade.shade_character(
+            albedo, n, wp, jnp.asarray(cfg.camera_pos, jnp.float32), cfg))(
+                attr_px[..., 0:3], world_px)
+    color = jnp.where(char_mask[..., None], char_color, color)
+    return jnp.clip(color, 0.0, 1.0)
+
+
 def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                  part_textures=None, cubemap=None, model_mat=None,
                  width=None, height=None, uv_offsets=None, part_color=None):

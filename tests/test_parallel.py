@@ -63,3 +63,39 @@ def test_crowd_sharded_over_mesh():
     # step again (steady state)
     state, images = step(state)
     assert np.isfinite(np.asarray(images)).all()
+
+
+def test_crowd_fused_render_matches_vmapped_pipeline():
+    """The fused multi-instance render path must match vmapped render_frame
+    (same geometry, same shading) up to raster tie-breaks."""
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, crowd_render_supported, render_frame)
+
+    scene = _tiny_scene(render_size=64)
+    cfg = scene.config.render
+    import dataclasses
+    cfg = dataclasses.replace(cfg, raster_mode="tiled", width=128, height=64)
+    assert crowd_render_supported(cfg)
+    n = 3
+    crowd = par.crowd_init(scene, n, phase_frames=7.0)
+    _, _, pos, nrm = jax.jit(par.crowd_step_fn(scene, render=False))(crowd)
+
+    fused = np.asarray(crowd_render_frame(scene.static, pos, nrm, cfg))
+    for i in range(n):
+        ref = np.asarray(render_frame(scene.static, pos[i], nrm[i], cfg))
+        diff = np.abs(fused[i] - ref)
+        assert (diff > 0.02).mean() < 2e-3, \
+            f"instance {i}: {(diff > 0.02).mean()}"
+
+
+def test_crowd_step_fn_uses_fused_path_when_supported():
+    from simple_mmd_renderer_tpu.render import pipeline as pl_mod
+    scene = _tiny_scene(render_size=32)
+    import dataclasses
+    scene.config.render = dataclasses.replace(scene.config.render,
+                                              raster_mode="tiled")
+    step = jax.jit(par.crowd_step_fn(scene, render=True))
+    crowd = par.crowd_init(scene, 2)
+    state, images = step(crowd)
+    assert images.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(images)).all()

@@ -263,3 +263,48 @@ def test_msaa_center_visibility_supersets_standard():
     # near-superset: a center-covered pixel goes empty only when its
     # triangle hits none of the 4 samples (sample-based raster semantics)
     assert (np.asarray(vis.tri)[cov] >= 0).mean() > 0.99
+
+
+def test_crowd_fused_raster_matches_per_instance():
+    """The fused multi-instance raster must equal the single-instance tiled
+    raster run per instance (same covers-all binning)."""
+    rng = np.random.default_rng(21)
+    n_inst, w, h = 3, 256, 128
+    n_tiles = 2 * 4
+    clips, attrs = [], []
+    for _ in range(n_inst):
+        c, tris = _random_mesh(rng, t=80)
+        clips.append(np.asarray(c))
+        attrs.append(rng.uniform(0, 1, (c.shape[0], 3)).astype(np.float32))
+    clip_b = jnp.asarray(np.stack(clips))
+    attr_b = jnp.asarray(np.stack(attrs))
+    vis, attr = tiled_raster.rasterize_attrs_tiled_crowd(
+        clip_b, tris, attr_b, w, h, raster.CULL_NONE)
+    for i in range(n_inst):
+        ref_vis, ref_attr = tiled_raster.rasterize_attrs_tiled(
+            clip_b[i], tris, attr_b[i], w, h, raster.CULL_NONE, n_tiles, 64)
+        np.testing.assert_allclose(np.asarray(vis.depth[i]),
+                                   np.asarray(ref_vis.depth), atol=2e-5)
+        assert (np.asarray(vis.tri[i]) != np.asarray(ref_vis.tri)).mean() \
+            < 1e-3
+        same = np.asarray(vis.tri[i]) == np.asarray(ref_vis.tri)
+        np.testing.assert_allclose(np.asarray(attr[i])[same],
+                                   np.asarray(ref_attr)[same], atol=2e-4)
+
+
+def test_crowd_fused_depth_matches_per_instance():
+    rng = np.random.default_rng(22)
+    n_inst, w, h = 3, 128, 128
+    clips = []
+    for _ in range(n_inst):
+        c, tris = _random_mesh(rng, t=60)
+        clips.append(np.asarray(c))
+    clip_b = jnp.asarray(np.stack(clips))
+    for cull in (raster.CULL_NONE, raster.CULL_FRONT):
+        depth = tiled_raster.rasterize_depth_tiled_crowd(
+            clip_b, tris, w, h, cull)
+        for i in range(n_inst):
+            ref = tiled_raster.rasterize_depth_tiled(
+                clip_b[i], tris, w, h, cull, 4, 64)
+            np.testing.assert_allclose(np.asarray(depth[i]),
+                                       np.asarray(ref), atol=2e-5)
