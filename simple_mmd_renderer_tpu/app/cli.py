@@ -71,6 +71,13 @@ def main(argv=None):
     ap.add_argument("--sdef", action="store_true",
                     help="true spherical SDEF skinning (beyond-parity; "
                          "default is the reference's BDEF2 fallback)")
+    ap.add_argument("--edges", action="store_true",
+                    help="toon edge outlines from the PMX edge data "
+                         "(beyond-parity; the reference never draws them)")
+    ap.add_argument("--edge-scale", type=float, default=1.0)
+    ap.add_argument("--mmd-shading", action="store_true",
+                    help="toon ramps + SPH/SPA sphere maps (beyond-parity; "
+                         "the reference's shader ignores them)")
     ap.add_argument("--density", type=float, default=1.0,
                     help="sample mesh density")
     args = ap.parse_args(argv)
@@ -128,7 +135,8 @@ def main(argv=None):
     cfg.render = RenderConfig(width=args.width, height=args.height,
                               shadow_map_size=args.shadow_size,
                               shadows_enabled=not args.no_shadows,
-                              msaa=args.msaa)
+                              msaa=args.msaa, show_edges=args.edges,
+                              edge_scale=args.edge_scale)
     cfg.physics.enabled = not args.no_physics
     cfg.sdef_true = args.sdef
 
@@ -145,8 +153,14 @@ def main(argv=None):
         from ..render.camera_anim import bind_camera
         camera = bind_camera(motion.camera)
         print("camera driven by VMD camera track")
+    mmd_maps = None
+    if args.mmd_shading:
+        from ..formats.textures import load_sphere_maps, load_toon_ramps
+        sph, modes = load_sphere_maps(static, model_dir)
+        mmd_maps = (sph, modes, load_toon_ramps(static, model_dir))
+        print("MMD extended shading: toon ramps + sphere maps")
     scene = Scene(static, ps, mo, cfg, part_textures=part_textures,
-                  cubemap=cubemap, camera=camera)
+                  cubemap=cubemap, camera=camera, mmd_maps=mmd_maps)
     state = scene.init_state()
     step = scene.jit_step(render=True)
 

@@ -254,8 +254,10 @@ def sample_character(density: float = 1.0) -> P.PmxModel:
     half = n_tris // 2
     mat = lambda name, count, base: P.Material(
         name, name, np.array([1, 1, 1, 1], F), np.array([0.3, 0.3, 0.3], F),
-        16.0, np.array([0.5, 0.5, 0.5], F), P.MAT_GROUND_SHADOW,
-        np.array([0, 0, 0, 1], F), 1.0, -1, -1, 0, True, 0, "", count, base)
+        16.0, np.array([0.5, 0.5, 0.5], F),
+        P.MAT_GROUND_SHADOW | P.MAT_DRAW_EDGE,
+        np.array([0.1, 0.05, 0.1, 1], F), 1.0, -1, -1, 0, True, 0, "",
+        count, base)
     pm.materials = [mat("body", half, 0), mat("extras", n_tris - half, half)]
 
     # --- morphs

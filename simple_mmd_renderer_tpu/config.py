@@ -67,6 +67,14 @@ class RenderConfig:
     # non-trivial meshes, the exact scan rasterizer otherwise
     raster_mode: str = "auto"
 
+    # toon edge outlines (beyond-parity: the reference parses per-material
+    # edge color/size and per-vertex edge scale but never draws them).
+    # Rendered as an inverted hull: vertices displaced along normals by
+    # 0.01 * edge_scale * material_edge_size * vertex_edge_scale MMD units,
+    # back faces composited under the character.
+    show_edges: bool = False
+    edge_scale: float = 1.0
+
     # skybox / ground
     show_skybox: bool = True
     show_ground: bool = True

@@ -110,6 +110,12 @@ class ModelStatic:
     part_base: np.ndarray      # [Pn] i32 first triangle
     part_count: np.ndarray     # [Pn] i32
     part_tex: np.ndarray       # [Pn] i32 texture table index (-1 none)
+    # edge/outline data (invert-hull pass; the reference parses these and
+    # never draws edges — RenderConfig.show_edges is the opt-in)
+    edge_mag: np.ndarray       # [N] f32 vertex edge_scale x material edge_size
+    edge_tris: np.ndarray      # [Te,3] i32 triangles of edge-flagged parts
+    edge_tri_part: np.ndarray  # [Te] i32 owning part per edge triangle
+    edge_colors: np.ndarray    # [Pn,4] f32 material edge colors
     materials: list[P.Material]
     textures: list[str]
     # --- physics
@@ -393,6 +399,29 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
     part_count = np.array([mt.n_triangles for mt in pm.materials], np.int32)
     part_tex = np.array([mt.texture for mt in pm.materials], np.int32)
 
+    # --- edge/outline tables (MAT_DRAW_EDGE parts only)
+    n_all_verts = len(pm.positions)
+    edge_mag = np.zeros(n_all_verts, np.float32)
+    e_tris, e_part = [], []
+    vertex_edge = (pm.edge_scale if pm.edge_scale is not None
+                   else np.ones(n_all_verts, np.float32))
+    for p, mt in enumerate(pm.materials):
+        if not (mt.draw_flags & P.MAT_DRAW_EDGE) or mt.edge_size <= 0:
+            continue
+        tri_p = pm.triangles[mt.base_shift:mt.base_shift + mt.n_triangles]
+        vids = np.unique(tri_p)
+        edge_mag[vids] = np.maximum(edge_mag[vids],
+                                    vertex_edge[vids] * mt.edge_size)
+        e_tris.append(tri_p.astype(np.int32))
+        e_part.append(np.full(len(tri_p), p, np.int32))
+    edge_tris = (np.concatenate(e_tris) if e_tris
+                 else np.zeros((0, 3), np.int32))
+    edge_tri_part = (np.concatenate(e_part) if e_part
+                     else np.zeros(0, np.int32))
+    edge_colors = np.stack([np.asarray(mt.edge_color, np.float32)
+                            for mt in pm.materials]) if pm.materials else \
+        np.zeros((0, 4), np.float32)
+
     n_verts = len(pm.positions)
     skin_weight_dense = None
     if n_bones and n_verts and n_verts * n_bones <= 64_000_000:
@@ -439,6 +468,8 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
         mm_payload=(np.stack(mm_pl).astype(np.float32) if mm_pl
                     else np.zeros((0, 28), np.float32)),
         part_base=part_base, part_count=part_count, part_tex=part_tex,
+        edge_mag=edge_mag, edge_tris=edge_tris,
+        edge_tri_part=edge_tri_part, edge_colors=edge_colors,
         materials=pm.materials, textures=pm.textures,
         rigid_bodies=pm.rigid_bodies, constraints=pm.constraints,
         skin_weight_dense=skin_weight_dense,

@@ -45,6 +45,10 @@ class Scene:
     part_textures: list | None = None
     cubemap: jnp.ndarray | None = None
     camera: object | None = None  # render.camera_anim.CameraArrays
+    # (sphere_textures, sphere_modes, toon_ramps) from
+    # formats.textures.load_sphere_maps/load_toon_ramps — enables the
+    # beyond-parity MMD toon/SPH/SPA shading path when set
+    mmd_maps: tuple | None = None
 
     def init_state(self) -> SimState:
         # jitted: eagerly this is thousands of tiny dispatches (neutral-pose
@@ -125,7 +129,8 @@ class Scene:
                              part_textures=self.part_textures,
                              cubemap=self.cubemap,
                              width=width, height=height,
-                             uv_offsets=uv_off, part_color=part_color)
+                             uv_offsets=uv_off, part_color=part_color,
+                             mmd_maps=self.mmd_maps)
         return state, image
 
     def jit_step(self, render: bool = True, width=None, height=None,

@@ -52,8 +52,9 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None):
 
     from ..render.pipeline import (crowd_render_frame,
                                    crowd_render_supported)
-    if crowd_render_supported(scene.config.render, scene.part_textures,
-                              scene.cubemap, scene.camera):
+    if scene.mmd_maps is None and crowd_render_supported(
+            scene.config.render, scene.part_textures, scene.cubemap,
+            scene.camera):
         def step(state):
             state, pose, positions, normals = jax.vmap(scene.step_pose)(state)
             images = crowd_render_frame(scene.static, positions, normals,

@@ -342,7 +342,8 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 
 def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                  part_textures=None, cubemap=None, model_mat=None,
-                 width=None, height=None, uv_offsets=None, part_color=None):
+                 width=None, height=None, uv_offsets=None, part_color=None,
+                 mmd_maps=None):
     """Full main-pass image, [H,W,3] float32 in [0,1].
 
     positions_mmd/normals: deformed vertices from core.pose.deform (MMD
@@ -362,7 +363,7 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                            part_textures=part_textures, cubemap=cubemap,
                            model_mat=model_mat, width=2 * width,
                            height=2 * height, uv_offsets=uv_offsets,
-                           part_color=part_color)
+                           part_color=part_color, mmd_maps=mmd_maps)
         return big.reshape(height, 2, width, 2, 3).mean(axis=(1, 3))
     mats = build_matrices(cfg, model_mat, aspect=width / height)
 
@@ -418,6 +419,30 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         ground_mask = jnp.zeros((height, width), bool)
         ground_depth = jnp.ones((height, width), jnp.float32)
 
+    # --- edge outlines (beyond-parity; RenderConfig.show_edges): inverted
+    # hull of the MAT_DRAW_EDGE parts, displaced along deformed normals,
+    # front faces culled so only the silhouette ring shows, composited
+    # UNDER the character
+    edge_mask = None
+    if cfg.show_edges and len(static.edge_tris):
+        emag = (jnp.asarray(static.edge_mag)
+                * (0.01 * cfg.edge_scale))[:, None]
+        verts_e = (positions_mmd + jnp.asarray(normals) * emag) \
+            * cfg.mmd_to_meter
+        etris = jnp.asarray(static.edge_tris)[:, ::-1]
+        clip_e = raster.transform_clip(verts_e, mats["mvp"])
+        if raster_fn is raster.rasterize:
+            vis_e = raster.rasterize(clip_e, etris, width, height,
+                                     raster.CULL_FRONT)
+        else:
+            from ..ops.tiled_raster import rasterize_tiled
+            vis_e = rasterize_tiled(clip_e, etris, width, height,
+                                    raster.CULL_FRONT,
+                                    _tiled_e_max(width, height), 256)
+        pid_e = jnp.asarray(static.edge_tri_part)[jnp.maximum(vis_e.tri, 0)]
+        edge_color_px = jnp.asarray(static.edge_colors)[pid_e][..., :3]
+        edge_mask = (vis_e.tri >= 0) & (vis_e.depth <= ground_depth)
+
     # --- character. World position is NOT interpolated: it is reconstructed
     # by unprojecting the depth buffer through inv(proj @ view) — one fixed
     # per-pixel cost instead of three per-entry attribute channels in the
@@ -462,19 +487,61 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         albedo = jnp.ones((height, width, 3), jnp.float32)
     else:
         albedo = character_albedo(static, vis, uv_px, part_textures)
+
+    pid = None
+
+    def part_id():
+        import numpy as _np
+        bounds = jnp.asarray(_np.asarray(static.part_base, _np.int32))
+        return jnp.clip(jnp.searchsorted(bounds, jnp.maximum(vis.tri, 0),
+                                         side="right") - 1,
+                        0, len(static.part_base) - 1)
+
     if part_color is not None:
         # material-morph albedo modulation (beyond-parity)
         mm_mul, mm_add = part_color
-        import numpy as _np
-        bounds = jnp.asarray(_np.asarray(static.part_base, _np.int32))
-        pid = jnp.clip(jnp.searchsorted(bounds, jnp.maximum(vis.tri, 0),
-                                        side="right") - 1,
-                       0, len(static.part_base) - 1)
+        pid = part_id()
         albedo = jnp.clip(albedo * mm_mul[pid] + mm_add[pid], 0.0, None)
+
+    sphere_addend = None
+    if mmd_maps is not None:
+        # MMD extended shading (beyond-parity; the reference's shader
+        # ignores toon + sphere maps): toon ramp multiplies albedo by the
+        # per-part ramp at v = 0.5 - 0.5*dot(N, L); SPH sphere maps
+        # multiply albedo, SPA maps add after shading — all sampled at
+        # view-space-normal UVs
+        import numpy as _np
+        sphere_texs, sphere_modes, toon_ramps = mmd_maps
+        if pid is None:
+            pid = part_id()
+        ldir = jnp.asarray(cfg.light_direction, jnp.float32)
+        ldir = ldir / jnp.linalg.norm(ldir)
+        ndl = -jnp.sum(nrm_px * ldir, -1)            # dot(N, toward-light)
+        k = toon_ramps.shape[1]
+        qi = jnp.clip(jnp.round((0.5 - 0.5 * ndl) * (k - 1)),
+                      0, k - 1).astype(jnp.int32)
+        ramp_flat = jnp.asarray(toon_ramps.reshape(-1, 3))
+        albedo = albedo * ramp_flat[pid * k + qi]
+        if any(m != 0 for m in _np.asarray(sphere_modes)):
+            view_rot = mats["view"][:3, :3]
+            nv = nrm_px @ view_rot.T
+            uv_s = jnp.stack([nv[..., 0] * 0.5 + 0.5,
+                              0.5 - nv[..., 1] * 0.5], -1)
+            scol = character_albedo(static, vis, uv_s, sphere_texs)
+            modes_px = jnp.asarray(_np.asarray(sphere_modes))[pid]
+            albedo = jnp.where((modes_px == 1)[..., None], albedo * scol,
+                               albedo)
+            sphere_addend = jnp.where((modes_px == 2)[..., None], scol, 0.0)
 
     char_color = shade.shade_character(
         albedo, nrm_px, world_px, jnp.asarray(cfg.camera_pos, jnp.float32),
         cfg)
+    if sphere_addend is not None:
+        char_color = char_color + sphere_addend
+    if edge_mask is not None:
+        # outlines sit between background/ground and the character
+        color = jnp.where((edge_mask & ~char_mask)[..., None],
+                          edge_color_px, color)
     if sdepth is not None:
         # MSAA resolve: shade once per pixel (center attributes), coverage
         # from the 4 per-sample depths vs the (per-pixel) ground depth —

@@ -259,3 +259,125 @@ def test_msaa_native_kernel_path():
     assert (d > 0.02).any(), "native MSAA changed no edge pixels"
     # native and supersample agree closely where both are interior
     assert np.abs(img_native - img_ss).mean() < 0.06
+
+
+def test_edge_outline_pass():
+    """show_edges draws the inverted-hull outline in the material's edge
+    color around the silhouette, under the character."""
+    from simple_mmd_renderer_tpu.formats import pmx as P
+
+    static = _sphere_model(n=10)
+    static.materials[0].draw_flags |= P.MAT_DRAW_EDGE
+    static.materials[0].edge_size = 4.0
+    static.materials[0].edge_color = np.array([1, 0, 0, 1], np.float32)
+    # rebuild edge tables the way build_model does (fixture shortcut)
+    tri = static.triangles
+    static.edge_tris = tri.copy()
+    static.edge_tri_part = np.zeros(len(tri), np.int32)
+    static.edge_colors = np.array([[1, 0, 0, 1]], np.float32)
+    static.edge_mag = np.full(len(static.positions), 4.0, np.float32)
+
+    base_cfg = dict(width=96, height=72, shadow_map_size=64,
+                    show_skybox=False)
+    args = (static, jnp.asarray(static.positions),
+            jnp.asarray(static.normals))
+    img_off = np.asarray(render_frame(*args, RenderConfig(**base_cfg)))
+    img_on = np.asarray(render_frame(
+        *args, RenderConfig(show_edges=True, edge_scale=30.0, **base_cfg)))
+    # red outline pixels appear only with edges on
+    red = (img_on[..., 0] > 0.8) & (img_on[..., 1] < 0.2) \
+        & (img_on[..., 2] < 0.2)
+    red_off = (img_off[..., 0] > 0.8) & (img_off[..., 1] < 0.2) \
+        & (img_off[..., 2] < 0.2)
+    assert red.sum() > 20, f"outline missing ({red.sum()} px)"
+    assert red_off.sum() == 0
+    # character interior unchanged (outline is under the character)
+    char = np.abs(img_off - np.asarray(RenderConfig().clear_color)).sum(-1) \
+        > 0.05
+    interior = char.copy()
+    interior[:, :] = False
+    interior[30:40, 44:52] = char[30:40, 44:52]
+    np.testing.assert_allclose(img_on[interior], img_off[interior],
+                               atol=1e-6)
+
+
+def test_build_model_edge_tables():
+    from simple_mmd_renderer_tpu.formats import pmx as P
+    from fixtures import two_bone_arm
+    pm = two_bone_arm()
+    pm.materials[0].draw_flags |= P.MAT_DRAW_EDGE
+    pm.materials[0].edge_size = 2.0
+    pm.materials[0].edge_color = np.array([0, 0, 0, 1], np.float32)
+    static = M.build_model(pm)
+    assert len(static.edge_tris) == len(pm.triangles)
+    assert (static.edge_tri_part == 0).all()
+    assert static.edge_mag.max() == 2.0  # edge_scale 1 x size 2
+    # flag off -> empty tables
+    pm2 = two_bone_arm()
+    static2 = M.build_model(pm2)
+    assert len(static2.edge_tris) == 0
+
+
+def test_mmd_extended_shading_toon_and_sphere():
+    """Toon ramp multiplies albedo by the N-dot-L ramp; SPA sphere maps add
+    after shading (beyond-parity; reference shader ignores both)."""
+    static = _sphere_model(n=10)
+    base_cfg = dict(width=96, height=72, shadow_map_size=64,
+                    show_skybox=False, show_ground=False)
+    args = (static, jnp.asarray(static.positions),
+            jnp.asarray(static.normals))
+    base = np.asarray(render_frame(*args, RenderConfig(**base_cfg)))
+    char = np.abs(base - np.asarray(RenderConfig().clear_color)).sum(-1) \
+        > 0.05
+
+    # toon: shadow side tinted pure red
+    k = 32
+    ramp = np.ones((1, k, 3), np.float32)
+    ramp[0, k // 2:] = [1.0, 0.0, 0.0]
+    sph = [np.ones((1, 1, 3), np.float32)]
+    modes = np.zeros(1, np.int32)
+    toon = np.asarray(render_frame(
+        *args, RenderConfig(**base_cfg), mmd_maps=(sph, modes, ramp)))
+    redder = (toon[..., 0] - toon[..., 1] > 0.2) & char
+    assert redder.sum() > 30, "toon shadow tint missing"
+    # lit side unchanged-ish (ramp = 1 there)
+    lit_same = np.abs(toon - base).sum(-1) < 0.02
+    assert (lit_same & char).sum() > 30
+
+    # SPA: additive green sphere map brightens the character (dark ramp in
+    # both runs keeps the white character below the 1.0 clip)
+    ramp_dark = np.full((1, k, 3), 0.3, np.float32)
+    sph_w = [np.ones((1, 1, 3), np.float32)]
+    base_d = np.asarray(render_frame(
+        *args, RenderConfig(**base_cfg),
+        mmd_maps=(sph_w, np.zeros(1, np.int32), ramp_dark)))
+    sph_g = [np.full((2, 2, 3), [0.0, 0.4, 0.0], np.float32)]
+    spa = np.asarray(render_frame(
+        *args, RenderConfig(**base_cfg),
+        mmd_maps=(sph_g, np.full(1, 2, np.int32), ramp_dark)))
+    dg = (spa[..., 1] - base_d[..., 1])[char]
+    assert (dg > 0.2).mean() > 0.8, "SPA additive sphere map missing"
+
+    # SPH: multiplicative dark sphere map darkens
+    sph_m = [np.full((2, 2, 3), 0.25, np.float32)]
+    ramp1 = np.ones((1, k, 3), np.float32)
+    sphm = np.asarray(render_frame(
+        *args, RenderConfig(**base_cfg),
+        mmd_maps=(sph_m, np.full(1, 1, np.int32), ramp1)))
+    assert sphm[char].mean() < base[char].mean() - 0.1
+
+
+def test_load_toon_ramps_and_sphere_maps_defaults():
+    from simple_mmd_renderer_tpu.formats.textures import (
+        default_toon_ramp, load_sphere_maps, load_toon_ramps)
+    static = _sphere_model(n=6)
+    # material references global toon 0 -> procedural default ramp
+    static.materials[0].toon = 0
+    static.materials[0].toon_is_global = True
+    ramps = load_toon_ramps(static)
+    assert ramps.shape == (1, 32, 3)
+    np.testing.assert_allclose(ramps[0], default_toon_ramp(), atol=0)
+    assert ramps[0, 0].min() > 0.95      # lit end ~white
+    assert ramps[0, -1].mean() < 0.9     # shadow end tinted
+    texs, modes = load_sphere_maps(static)
+    assert modes.tolist() == [0]
