@@ -78,8 +78,13 @@ def shard_crowd(state: SimState, mesh: Mesh, axis: str = "data") -> SimState:
 
 def crowd_jit(scene: Scene, mesh: Mesh, render: bool = True, width=None,
               height=None, axis: str = "data"):
-    """jit the crowd step with the instance axis of every output pinned to the
-    mesh, so each per-instance stage stays device-local."""
+    """jit the crowd step with the instance axis sharded over the mesh via
+    shard_map: every stage — including the FUSED multi-instance raster's
+    global sort and kernel launch — runs on its device-local instance
+    shard, so XLA inserts no collectives on the hot path (the instance
+    batch is embarrassingly parallel; ICI carries nothing per frame)."""
+    from jax.experimental.shard_map import shard_map
     fn = crowd_step_fn(scene, render=render, width=width, height=height)
-    shard = NamedSharding(mesh, P(axis))
-    return jax.jit(fn, out_shardings=shard)
+    sharded = shard_map(fn, mesh=mesh, in_specs=(P(axis),),
+                        out_specs=P(axis), check_rep=False)
+    return jax.jit(sharded)
