@@ -100,7 +100,7 @@ class PhysicsConfig:
     dt: float = 1.0 / 30.0             # main.cpp:1806
     substep_hz: float = 60.0           # stepSimulation internal step
     max_substeps: int = 60
-    solver_iterations: int = 8
+    solver_iterations: int = 6
 
 
 @dataclass
