@@ -75,6 +75,9 @@ def main(argv=None):
                     help="toon edge outlines from the PMX edge data "
                          "(beyond-parity; the reference never draws them)")
     ap.add_argument("--edge-scale", type=float, default=1.0)
+    ap.add_argument("--double-sided", action="store_true",
+                    help="honor MAT_DOUBLE_FACE (skirts/ribbons render from "
+                         "both sides; the reference ignores the flag)")
     ap.add_argument("--mmd-shading", action="store_true",
                     help="toon ramps + SPH/SPA sphere maps (beyond-parity; "
                          "the reference's shader ignores them)")
@@ -136,7 +139,8 @@ def main(argv=None):
                               shadow_map_size=args.shadow_size,
                               shadows_enabled=not args.no_shadows,
                               msaa=args.msaa, show_edges=args.edges,
-                              edge_scale=args.edge_scale)
+                              edge_scale=args.edge_scale,
+                              double_sided=args.double_sided)
     cfg.physics.enabled = not args.no_physics
     cfg.sdef_true = args.sdef
 

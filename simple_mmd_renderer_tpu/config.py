@@ -74,6 +74,10 @@ class RenderConfig:
     # back faces composited under the character.
     show_edges: bool = False
     edge_scale: float = 1.0
+    # honor the per-material MAT_DOUBLE_FACE flag (skirts/ribbons render
+    # from both sides, with viewer-facing normal flip). Beyond-parity: the
+    # reference builds ONE back-culling pipeline and ignores the flag.
+    double_sided: bool = False
 
     # skybox / ground
     show_skybox: bool = True

@@ -116,6 +116,7 @@ class ModelStatic:
     edge_tris: np.ndarray      # [Te,3] i32 triangles of edge-flagged parts
     edge_tri_part: np.ndarray  # [Te] i32 owning part per edge triangle
     edge_colors: np.ndarray    # [Pn,4] f32 material edge colors
+    nocull_tris: np.ndarray    # [T] bool — triangles of MAT_DOUBLE_FACE parts
     materials: list[P.Material]
     textures: list[str]
     # --- physics
@@ -421,6 +422,10 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
     edge_colors = np.stack([np.asarray(mt.edge_color, np.float32)
                             for mt in pm.materials]) if pm.materials else \
         np.zeros((0, 4), np.float32)
+    nocull_tris = np.zeros(len(pm.triangles), bool)
+    for mt in pm.materials:
+        if mt.draw_flags & P.MAT_DOUBLE_FACE:
+            nocull_tris[mt.base_shift:mt.base_shift + mt.n_triangles] = True
 
     n_verts = len(pm.positions)
     skin_weight_dense = None
@@ -470,6 +475,7 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
         part_base=part_base, part_count=part_count, part_tex=part_tex,
         edge_mag=edge_mag, edge_tris=edge_tris,
         edge_tri_part=edge_tri_part, edge_colors=edge_colors,
+        nocull_tris=nocull_tris,
         materials=pm.materials, textures=pm.textures,
         rigid_bodies=pm.rigid_bodies, constraints=pm.constraints,
         skin_weight_dense=skin_weight_dense,

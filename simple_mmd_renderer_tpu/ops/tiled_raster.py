@@ -519,7 +519,8 @@ def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
-                               cull=raster.CULL_BACK, e_max=9, chunk=256):
+                               cull=raster.CULL_BACK, e_max=9, chunk=256,
+                               nocull=None):
     """4x-MSAA raster: center visibility + attributes like
     rasterize_attrs_tiled, PLUS per-sample depth [4, H, W] at the standard
     rotated-grid offsets. A sample is covered iff its depth < 1.0.
@@ -528,7 +529,7 @@ def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
     result (oversized triangles are interior-dominated)."""
     g = jnp.concatenate([clip, attrs], -1)[tris]
     s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4],
-                     sample_extent=0.375)
+                     sample_extent=0.375, nocull=nocull)
     s["tris_v"] = tris
     s["va"] = g[..., 4:]
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
@@ -653,10 +654,10 @@ def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def rasterize_depth_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
-                          e_max=9, chunk=256):
+                          e_max=9, chunk=256, nocull=None):
     """Depth-only binned rasterization (shadow maps): returns [H, W] depth
     with the same z-test semantics as rasterize_tiled().depth."""
-    s = raster.setup(clip, tris, width, height, cull)
+    s = raster.setup(clip, tris, width, height, cull, nocull=nocull)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
     sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
                                             chunk)
@@ -808,14 +809,17 @@ def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def rasterize_attrs_tiled(clip, tris, attrs, width, height,
-                          cull=raster.CULL_BACK, e_max=9, chunk=256):
+                          cull=raster.CULL_BACK, e_max=9, chunk=256,
+                          nocull=None):
     """Raster + in-kernel perspective-correct attribute interpolation.
 
     attrs: [V, A] per-vertex attributes. Returns (VisBuffer,
-    attr_img [H, W, A]) with zeros on empty pixels."""
+    attr_img [H, W, A]) with zeros on empty pixels. `nocull` [T] exempts
+    double-sided triangles from face culling."""
     # fuse the clip and attribute vertex gathers into one [T,3,4+A] gather
     g = jnp.concatenate([clip, attrs], -1)[tris]
-    s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4])
+    s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4],
+                     nocull=nocull)
     s["tris_v"] = tris
     s["va"] = g[..., 4:]
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)

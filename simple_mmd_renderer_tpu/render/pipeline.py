@@ -456,20 +456,28 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             uvs = uvs + uv_offsets
         attr_list.append(uvs)
     attrs = jnp.concatenate(attr_list, -1)
+    # double-sided materials (beyond-parity; the reference's single
+    # back-cull pipeline ignores MAT_DOUBLE_FACE): exempt their triangles
+    # from face culling
+    nocull = None
+    if cfg.double_sided and static.nocull_tris.any():
+        nocull = jnp.asarray(static.nocull_tris)
     sdepth = None
     if raster_fn is raster.rasterize:
-        vis = raster_fn(clip, tris, width, height, raster.CULL_BACK)
+        vis = raster_fn(clip, tris, width, height, raster.CULL_BACK,
+                        nocull=nocull)
         attr_px = raster.interpolate(vis, clip, tris, attrs)
     elif msaa_native:
         from ..ops.tiled_raster import rasterize_attrs_tiled_msaa
         vis, attr_px, sdepth = rasterize_attrs_tiled_msaa(
             clip, tris, attrs, width, height, raster.CULL_BACK,
-            _tiled_e_max(width, height), 256)
+            _tiled_e_max(width, height), 256, nocull)
     else:
         from ..ops.tiled_raster import rasterize_attrs_tiled
         vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
                                              height, raster.CULL_BACK,
-                                             _tiled_e_max(width, height), 256)
+                                             _tiled_e_max(width, height), 256,
+                                             nocull)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],
@@ -482,6 +490,12 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         mm = jnp.asarray(model_mat)
         nmat = jnp.linalg.inv(mm[:3, :3]).T
         nrm_px = nrm_px @ nmat.T
+    if nocull is not None:
+        # two-sided lighting: back faces of double-sided surfaces shade
+        # with the viewer-facing normal
+        to_eye = jnp.asarray(cfg.camera_pos, jnp.float32) - world_px
+        flip = jnp.sum(nrm_px * to_eye, -1, keepdims=True) < 0.0
+        nrm_px = jnp.where(flip, -nrm_px, nrm_px)
 
     if part_textures is None:
         albedo = jnp.ones((height, width, 3), jnp.float32)

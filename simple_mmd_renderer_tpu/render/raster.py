@@ -55,7 +55,7 @@ def screen_from_clip(clip, width, height):
 
 
 def setup(clip, tris, width, height, cull=CULL_BACK, cv=None,
-          sample_extent=0.0):
+          sample_extent=0.0, nocull=None):
     """Per-triangle rasterization setup.
 
     Returns dict of [T,...] arrays: screen xy per vertex, z per vertex, 1/w per
@@ -63,7 +63,8 @@ def setup(clip, tris, width, height, cull=CULL_BACK, cv=None,
     Triangles crossing w<=0 are dropped (guard-band near clip). `cv` may pass
     pre-gathered clip[tris] (callers fuse it with their attribute gather).
     `sample_extent` widens the sample-point cull for MSAA samples offset up
-    to that many pixels from the center (0 = center sampling)."""
+    to that many pixels from the center (0 = center sampling). `nocull` [T]
+    marks triangles exempt from face culling (double-sided materials)."""
     # one gather of clip coords per triangle corner; the screen mapping is
     # recomputed on the gathered [T,3,4] (TPU gathers dominate, math is free)
     if cv is None:
@@ -81,6 +82,8 @@ def setup(clip, tris, width, height, cull=CULL_BACK, cv=None,
         face_ok = area2 > 0.0
     else:
         face_ok = jnp.abs(area2) > 0.0
+    if nocull is not None:
+        face_ok = face_ok | (nocull & (jnp.abs(area2) > 0.0))
 
     # sample-point cull (exact): pixel centers sit at integer+0.5, so a
     # triangle whose bbox straddles no center in x or y can never produce
@@ -106,11 +109,11 @@ def _pixel_centers(width, height):
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def rasterize(clip, tris, width, height, cull=CULL_BACK,
-              vis: VisBuffer | None = None) -> VisBuffer:
+              vis: VisBuffer | None = None, nocull=None) -> VisBuffer:
     """Exact scanline-free rasterization: lax.scan over triangles, full-frame
     edge-function evaluation each (reference path; use ops.tiled_raster for
     speed on large scenes)."""
-    s = setup(clip, tris, width, height, cull)
+    s = setup(clip, tris, width, height, cull, nocull=nocull)
     if vis is None:
         vis = empty_vis(width, height)
 

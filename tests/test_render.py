@@ -381,3 +381,47 @@ def test_load_toon_ramps_and_sphere_maps_defaults():
     assert ramps[0, -1].mean() < 0.9     # shadow end tinted
     texs, modes = load_sphere_maps(static)
     assert modes.tolist() == [0]
+
+
+def test_double_sided_materials():
+    """double_sided=True renders MAT_DOUBLE_FACE parts from both sides with
+    viewer-facing normals; default keeps the reference's back-cull."""
+    static = _sphere_model(n=4)
+    # replace geometry with ONE open quad facing AWAY from the camera (a
+    # skirt-like open surface): back-culled by default, visible only when
+    # the double-face flag is honored
+    static.positions = np.array([[-4, 6, 0], [4, 6, 0],
+                                 [4, 14, 0], [-4, 14, 0]], np.float32)
+    static.normals = np.tile(np.array([[0, 0, 1.0]], np.float32), (4, 1))
+    # winding chosen so the upload flip makes it back-facing to the camera
+    static.triangles = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    static.skin_weight_dense = None
+    static.nocull_tris = np.ones(2, bool)
+    static.part_base = np.array([0], np.int32)
+    static.part_count = np.array([2], np.int32)
+    cfg = dict(width=96, height=72, shadow_map_size=64, show_skybox=False,
+               show_ground=False)
+    args = (static, jnp.asarray(static.positions),
+            jnp.asarray(static.normals))
+    clear = np.asarray(RenderConfig().clear_color)
+    off = np.asarray(render_frame(*args, RenderConfig(**cfg)))
+    on = np.asarray(render_frame(
+        *args, RenderConfig(double_sided=True, **cfg)))
+    vis_off = (np.abs(off - clear).sum(-1) > 0.05).mean()
+    vis_on = (np.abs(on - clear).sum(-1) > 0.05).mean()
+    # exactly one orientation of the quad is visible without double_sided
+    if vis_off < 0.01:
+        assert vis_on > 0.03, "double-sided quad should become visible"
+    else:
+        # winding was front-facing: flip it and require the culled case
+        static.triangles = static.triangles[:, ::-1].copy()
+        off2 = np.asarray(render_frame(*args, RenderConfig(**cfg)))
+        on2 = np.asarray(render_frame(
+            *args, RenderConfig(double_sided=True, **cfg)))
+        assert (np.abs(off2 - clear).sum(-1) > 0.05).mean() < 0.01
+        assert (np.abs(on2 - clear).sum(-1) > 0.05).mean() > 0.03
+    # two-sided lighting: visible pixels lit, not uniformly dark
+    shown = on if vis_off < 0.01 else np.asarray(render_frame(
+        *args, RenderConfig(double_sided=True, **cfg)))
+    char = np.abs(shown - clear).sum(-1) > 0.05
+    assert shown[char].mean() > 0.4
