@@ -87,8 +87,8 @@ def main():
 
     if on_tpu:
         # the reference app's own operating point: a 1280x720 window with
-        # 4x MSAA (main.cpp:2502-2504) — measured both without and WITH the
-        # supersampled MSAA emulation for an honest native-quality point
+        # 4x MSAA (main.cpp:2502-2504) — measured both without and WITH
+        # native per-sample 4x MSAA (ops/tiled_raster._raster_kernel_ms)
         cfg720 = AppConfig()
         cfg720.render = RenderConfig(width=1280, height=720,
                                      shadow_map_size=shadow,

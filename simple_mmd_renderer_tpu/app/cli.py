@@ -171,8 +171,24 @@ def main(argv=None):
     print(f"compiling for {args.width}x{args.height} "
           f"on {jax.devices()[0].platform}...")
     t0 = time.time()
-    state, image = step(state)
-    image.block_until_ready()
+    # The first execution includes the device compile, which on a remote
+    # TPU tunnel can take minutes (volatile, 110-900s observed); keep a
+    # heartbeat printing so a long compile does not read as a hang.
+    import threading
+    done = threading.Event()
+
+    def heartbeat():
+        while not done.wait(15.0):
+            print(f"  ... still compiling ({time.time() - t0:.0f}s elapsed; "
+                  "first device compile can take minutes)", flush=True)
+
+    hb = threading.Thread(target=heartbeat, daemon=True)
+    hb.start()
+    try:
+        state, image = step(state)
+        image.block_until_ready()
+    finally:
+        done.set()
     print(f"first frame (compile): {time.time() - t0:.1f}s")
 
     if args.out:

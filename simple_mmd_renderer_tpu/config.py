@@ -34,6 +34,12 @@ class RenderConfig:
     camera_pos: np.ndarray = _v(0.2, 1.6, -4.0)
     camera_target: np.ndarray = _v(0.0, 1.1, 0.0)
     camera_fov_deg: float = 45.0
+    # VMD camera tracks carry a per-key "perspective off" flag
+    # (reader/vmd_reader_impl.inl:104, parsed but never consumed by the
+    # reference); when True (or a traced bool from the camera track) the
+    # projection is orthographic with the view height matched to the
+    # perspective frustum at the look-at target (MMD's framing convention)
+    camera_orthographic: bool = False
     near: float = 0.1
     far: float = 1000.0
 

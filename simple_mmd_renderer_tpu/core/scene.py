@@ -115,7 +115,8 @@ class Scene:
             rcfg = dataclasses.replace(
                 rcfg, camera_pos=cam["eye"] * scale,
                 camera_target=cam["target"] * scale,
-                camera_fov_deg=cam["fov_deg"])
+                camera_fov_deg=cam["fov_deg"],
+                camera_orthographic=cam["ortho"])
         uv_off, part_color = None, None
         if self.config.apply_extended_morphs and self.static.n_morphs:
             if len(self.static.um_morph) and self.part_textures is not None:

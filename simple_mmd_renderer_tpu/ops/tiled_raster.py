@@ -157,6 +157,40 @@ def _expand_tiles(s, width, height, e_max):
     return tile, big
 
 
+def _packed_sort(flat_tile, flat_tri, t, n_segments):
+    """Sort (tile, tri) pairs lexicographically -> (sorted_tri [N],
+    segment starts [n_segments + 2], incl. the pad segment boundary).
+
+    Fast path: ONE packed int32 key (tile << tri_bits | tri) through an
+    unstable single-operand sort — keys are unique, so this is equivalent
+    to a stable pair sort (tri in the low bits reproduces draw order for
+    z-ties) and markedly cheaper; the pair sort + two permutation gathers
+    was the most expensive piece of this whole pass. (A histogram+cumsum
+    formulation is ~3x slower still: scatter-add with ~100k collisions
+    into 2k bins serializes on TPU.)
+
+    tri_bits is sized to the actual triangle count (trace-time constant),
+    so the int32 budget covers (segments+1) * t up to 2^31 — e.g. 4.2M
+    triangles at a 510-tile 1080p grid, or 1.6M fused crowd entries at a
+    10-tile viewport. Beyond that the lexicographic two-operand sort takes
+    over (exact, ~3x the sort cost; int64 keys are unavailable without
+    jax_enable_x64)."""
+    tri_bits = max(int(t - 1).bit_length(), 1)
+    bound = jnp.arange(n_segments + 1, dtype=jnp.int32)
+    if (n_segments + 1) <= (1 << (31 - tri_bits)):
+        packed = jax.lax.sort(flat_tile * (1 << tri_bits) + flat_tri,
+                              is_stable=False)
+        sorted_tri = packed & ((1 << tri_bits) - 1)
+        start = jnp.searchsorted(packed, bound * (1 << tri_bits),
+                                 side="left").astype(jnp.int32)
+    else:
+        sorted_tile, sorted_tri = jax.lax.sort(
+            (flat_tile, flat_tri), num_keys=2, is_stable=False)
+        start = jnp.searchsorted(sorted_tile, bound,
+                                 side="left").astype(jnp.int32)
+    return sorted_tri, start
+
+
 def _bin(s, rows, width, height, e_max, chunk):
     """-> (sorted_rows [T*E + chunk pad, W], starts [n_tiles],
     counts [n_tiles], big_mask [T]).
@@ -175,23 +209,7 @@ def _bin(s, rows, width, height, e_max, chunk):
     flat_tri = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, e_max)).reshape(-1)
 
-    # sort ONE packed int32 key (tile << SHIFT | tri) instead of a stable
-    # (key, value) pair sort: keys are unique, so an unstable single-operand
-    # sort is both equivalent (tri in the low bits reproduces draw order for
-    # z-ties) and markedly cheaper — the pair sort + two permutation gathers
-    # was the most expensive piece of this whole pass.
-    # (a histogram+cumsum formulation is ~3x SLOWER still: scatter-add with
-    # ~100k collisions into 2k bins serializes on TPU)
-    shift = 18
-    assert t < (1 << shift), "triangle count exceeds packed sort key space"
-    assert n_tiles + 1 <= (1 << (31 - shift)), "tile count exceeds key space"
-    packed = jax.lax.sort(flat_tile * (1 << shift) + flat_tri,
-                          is_stable=False)
-    sorted_tri = packed & ((1 << shift) - 1)
-    start = jnp.searchsorted(packed,
-                             jnp.arange(n_tiles + 1, dtype=jnp.int32)
-                             * (1 << shift),
-                             side="left").astype(jnp.int32)
+    sorted_tri, start = _packed_sort(flat_tile, flat_tri, t, n_tiles)
     # counts are UNCAPPED: the kernel streams a tile's entries in chunks,
     # so a dense tile never silently drops geometry
     counts = (start[1:] - start[:-1]).astype(jnp.int32)
@@ -488,7 +506,7 @@ def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[tile_spec(), tile_spec(), tile_spec(), tile_spec(),
                    plane_spec(na), plane_spec(4)],
         scratch_shapes=[
@@ -632,7 +650,7 @@ def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W),
                          lambda i, s, c: (i // tiles_x, i % tiles_x),
@@ -703,7 +721,7 @@ def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, chunk):
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
         ],
         out_specs=[
             tile_spec(), tile_spec(), tile_spec(), tile_spec(),
@@ -919,18 +937,8 @@ def _bin_multi(s, rows, width, height, chunk):
             + jnp.arange(t, dtype=jnp.int32)[None, :, None])  # [I,T,1]
     gtri = jnp.broadcast_to(gtri, gtile.shape)
 
-    shift = 18
-    assert n_inst * t < (1 << shift), \
-        "instances x triangles exceeds packed sort key space"
-    assert n_inst * n_tiles + 1 <= (1 << (31 - shift)), \
-        "instances x tiles exceeds key space"
-    packed = jax.lax.sort(
-        (gtile * (1 << shift) + gtri).reshape(-1), is_stable=False)
-    sorted_tri = packed & ((1 << shift) - 1)
-    start = jnp.searchsorted(
-        packed,
-        jnp.arange(n_inst * n_tiles + 1, dtype=jnp.int32) * (1 << shift),
-        side="left").astype(jnp.int32)
+    sorted_tri, start = _packed_sort(gtile.reshape(-1), gtri.reshape(-1),
+                                     n_inst * t, n_inst * n_tiles)
     counts = (start[1:] - start[:-1]).astype(jnp.int32)
 
     flat_rows = rows.reshape(n_inst * t, rows.shape[2])
@@ -959,7 +967,7 @@ def _run_kernel_multi(sorted_rows, starts, counts, n_inst, width, height,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_inst * n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             tile_spec(), tile_spec(), tile_spec(), tile_spec(),
             pl.BlockSpec((1, na, TILE_H, TILE_W),
@@ -1032,7 +1040,7 @@ def _run_depth_kernel_multi(sorted_rows, starts, counts, n_inst, width,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_inst * n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W),
                          lambda i, s, c: (i // n_tiles,

@@ -35,6 +35,19 @@ def build_matrices(cfg: RenderConfig, model_mat=None, aspect=None):
         aspect = cfg.width / cfg.height
     proj = cam.perspective(jnp.deg2rad(cfg.camera_fov_deg), aspect,
                            cfg.near, cfg.far)
+    ortho = cfg.camera_orthographic
+    if not (isinstance(ortho, bool) and not ortho):
+        # orthographic camera (VMD "perspective off"): frame height matches
+        # the perspective frustum at the look-at distance, so toggling the
+        # flag keeps the subject at the same screen size
+        eye = jnp.asarray(cfg.camera_pos, jnp.float32)
+        tgt = jnp.asarray(cfg.camera_target, jnp.float32)
+        half_h = (jnp.linalg.norm(eye - tgt)
+                  * jnp.tan(jnp.deg2rad(cfg.camera_fov_deg) * 0.5))
+        half_w = half_h * aspect
+        oproj = cam.orthographic(-half_w, half_w, -half_h, half_h,
+                                 cfg.near, cfg.far)
+        proj = jnp.where(jnp.asarray(ortho), oproj, proj)
     view = cam.look_at(cfg.camera_pos, cfg.camera_target,
                        jnp.array([0.0, 1.0, 0.0], jnp.float32))
     mvp = proj @ view @ model_mat

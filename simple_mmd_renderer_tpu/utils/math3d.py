@@ -248,14 +248,38 @@ def mat_from_quat_trans(q, t):
 
 
 def mat3_to_quat(m):
-    """Rotation matrix [..., 3, 3] -> quaternion (x, y, z, w), w >= 0 branch
-    (adequate for blending nearby skinning rotations)."""
-    t = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
-    qw = jnp.sqrt(jnp.maximum(1.0 + t, 1e-12)) * 0.5
-    s = 1.0 / (4.0 * jnp.maximum(qw, 1e-6))
-    q = jnp.stack([
-        (m[..., 2, 1] - m[..., 1, 2]) * s,
-        (m[..., 0, 2] - m[..., 2, 0]) * s,
-        (m[..., 1, 0] - m[..., 0, 1]) * s,
-        qw], -1)
+    """Rotation matrix [..., 3, 3] -> quaternion (x, y, z, w).
+
+    Branchless form of the standard 4-branch (largest of trace / diagonal)
+    conversion: all four candidate quaternions are computed and the one with
+    the largest pivot is selected, so rotations near 180 deg (trace ~ -1,
+    where the w-only branch is numerically degenerate) stay stable. The
+    opt-in SDEF path feeds raw skinning matrices here, which can reach such
+    rotations on extreme poses."""
+    m00, m11, m22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    # pivot magnitudes: 4w^2, 4x^2, 4y^2, 4z^2 (each = 1 + signed diag combo)
+    pw = 1.0 + m00 + m11 + m22
+    px = 1.0 + m00 - m11 - m22
+    py = 1.0 - m00 + m11 - m22
+    pz = 1.0 - m00 - m11 + m22
+    sw = jnp.sqrt(jnp.maximum(pw, 1e-12))
+    sx = jnp.sqrt(jnp.maximum(px, 1e-12))
+    sy = jnp.sqrt(jnp.maximum(py, 1e-12))
+    sz = jnp.sqrt(jnp.maximum(pz, 1e-12))
+    a21 = m[..., 2, 1] - m[..., 1, 2]
+    a02 = m[..., 0, 2] - m[..., 2, 0]
+    a10 = m[..., 1, 0] - m[..., 0, 1]
+    s01 = m[..., 0, 1] + m[..., 1, 0]
+    s02 = m[..., 0, 2] + m[..., 2, 0]
+    s12 = m[..., 1, 2] + m[..., 2, 1]
+    qw = jnp.stack([a21, a02, a10, sw * sw], -1) / (2.0 * sw[..., None])
+    qx = jnp.stack([sx * sx, s01, s02, a21], -1) / (2.0 * sx[..., None])
+    qy = jnp.stack([s01, sy * sy, s12, a02], -1) / (2.0 * sy[..., None])
+    qz = jnp.stack([s02, s12, sz * sz, a10], -1) / (2.0 * sz[..., None])
+    piv = jnp.stack([pw, px, py, pz], -1)
+    best = jnp.argmax(piv, axis=-1)[..., None]
+    q = jnp.where(best == 0, qw,
+                  jnp.where(best == 1, qx, jnp.where(best == 2, qy, qz)))
+    # canonical sign (w >= 0) keeps blends of nearby rotations consistent
+    q = jnp.where(q[..., 3:4] < 0.0, -q, q)
     return quat_normalize(q)

@@ -101,3 +101,18 @@ def test_lerp_eps_shortcuts():
     np.testing.assert_array_equal(m3.lerp(a, b, 0.0), a)
     np.testing.assert_array_equal(m3.lerp(a, b, 1.0), b)
     np.testing.assert_allclose(m3.lerp(a, b, 0.5), [2.5, 3.5, 4.5])
+
+
+def test_mat3_to_quat_near_180deg():
+    """The w-only trace branch is degenerate near 180 deg (trace ~ -1); the
+    4-branch conversion must roundtrip such rotations (ADVICE r2: the SDEF
+    path feeds raw skinning matrices that can reach them)."""
+    rng = np.random.default_rng(7)
+    ax = rng.standard_normal((32, 3))
+    ax /= np.linalg.norm(ax, axis=-1, keepdims=True)
+    ang = np.float32(np.pi) - rng.uniform(0.0, 1e-4, 32).astype(np.float32)
+    q = np.concatenate([ax * np.sin(ang[:, None] / 2),
+                        np.cos(ang / 2)[:, None]], -1).astype(np.float32)
+    m = m3.quat_to_mat3(jnp.asarray(q))
+    m2 = m3.quat_to_mat3(m3.mat3_to_quat(m))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m), atol=1e-5)

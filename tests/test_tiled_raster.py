@@ -308,3 +308,44 @@ def test_crowd_fused_depth_matches_per_instance():
                 clip_b[i], tris, w, h, cull, 4, 64)
             np.testing.assert_allclose(np.asarray(depth[i]),
                                        np.asarray(ref), atol=2e-5)
+
+
+def test_packed_sort_paths_agree():
+    """The int32 single-key fast path and the lexicographic two-key fallback
+    must produce identical segment tables (r2 VERDICT #3: the fixed 18-bit
+    key capped triangles at 262144)."""
+    rng = np.random.default_rng(11)
+    n_seg = 37
+    tile = jnp.asarray(rng.integers(0, n_seg + 1, 5000), jnp.int32)
+    tri = jnp.asarray(rng.permutation(5000), jnp.int32)
+    ref_order = np.lexsort((np.asarray(tri), np.asarray(tile)))
+    ref_tri = np.asarray(tri)[ref_order]
+    # i32 fast path (t=5000 -> 13 tri bits, plenty of headroom)
+    got_tri, start = tiled_raster._packed_sort(tile, tri, 5000, n_seg)
+    np.testing.assert_array_equal(np.asarray(got_tri), ref_tri)
+    # force the fallback: a pretended t of 2^29 leaves no room for segments
+    got2_tri, start2 = tiled_raster._packed_sort(tile, tri, 1 << 29, n_seg)
+    np.testing.assert_array_equal(np.asarray(got2_tri), ref_tri)
+    np.testing.assert_array_equal(np.asarray(start), np.asarray(start2))
+    counts = np.asarray(start)[1:] - np.asarray(start)[:-1]
+    np.testing.assert_array_equal(
+        counts, np.bincount(np.asarray(tile), minlength=n_seg + 1)[:n_seg])
+
+
+def test_tiled_beyond_262k_triangles():
+    """A mesh past the old 2^18 packed-key ceiling rasterizes exactly: 300k
+    triangles (mostly degenerate pad) must match the same scene with only
+    its live triangles."""
+    rng = np.random.default_rng(12)
+    clip_s, tris_s = _random_mesh(rng, t=40)
+    w, h = 256, 64
+    ref = tiled_raster.rasterize_tiled(clip_s, tris_s, w, h,
+                                       raster.CULL_NONE)
+    t_total = 300_000
+    # live triangles first, degenerate (zero-area, culled in setup) padding
+    # referencing vertex 0 after them
+    pad = jnp.zeros((t_total - 40, 3), jnp.int32)
+    tris = jnp.concatenate([tris_s, pad])
+    got = tiled_raster.rasterize_tiled(clip_s, tris, w, h, raster.CULL_NONE)
+    assert (np.asarray(ref.tri) >= 0).mean() > 0.1
+    _assert_vis_equal(got, ref)
