@@ -106,7 +106,8 @@ def main():
         # textured path: per-part procedural textures through the shelf-
         # packed atlas (the reference binds a texture per part,
         # main.cpp:2093-2146)
-        from simple_mmd_renderer_tpu.app.sample import sample_textures
+        from simple_mmd_renderer_tpu.app.sample import (
+            realistic_texture_sizes, sample_textures)
         cfg_tex = AppConfig()
         cfg_tex.render = RenderConfig(width=width, height=height,
                                       shadow_map_size=shadow,
@@ -114,6 +115,26 @@ def main():
         secondary("textured (2-part atlas) at 1920x1080",
                   Scene(static, ps, mo, cfg_tex,
                         part_textures=sample_textures()), 30)
+
+        cfg_tex720 = AppConfig()
+        cfg_tex720.render = RenderConfig(width=1280, height=720,
+                                         shadow_map_size=shadow,
+                                         show_skybox=False)
+        secondary("textured (2-part atlas) at the reference's 1280x720",
+                  Scene(static, ps, mo, cfg_tex720,
+                        part_textures=sample_textures()), 30)
+
+        # realistic texture load: 16 material parts, 2048^2-heavy size mix
+        # (real PMX models ship 10-30 parts; the 2-part scene under-
+        # represents part count and texel budget)
+        pm16 = sample_character(density=density, n_parts=16)
+        static16 = model_mod.build_model(pm16)
+        mo16 = anim_mod.bind_motion(static16, sample_motion(240, fps_keys=5))
+        ps16 = phys_mod.build_physics(static16)
+        secondary("textured (16 parts, 2048^2-heavy mix) at 1920x1080",
+                  Scene(static16, ps16, mo16, cfg_tex,
+                        part_textures=sample_textures(
+                            realistic_texture_sizes(16))), 30)
 
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu

@@ -43,6 +43,126 @@ def ansi_frame(img: "np.ndarray", cols: int = 96) -> str:
     return "\n".join(lines)
 
 
+class OrbitRig:
+    """Keyboard orbit camera for --watch: the headless counterpart of the
+    reference's live mouse controller (`main.cpp:2370-2480` — LMB rotate
+    with pitch clamped short of the poles, wheel zoom clamped 0.5-20 m,
+    WASDQE fly, R reset). State lives host-side; the jitted step takes the
+    camera as traced arguments, so steering never recompiles."""
+
+    def __init__(self, rcfg):
+        import numpy as np
+        self._np = np
+        self._home = (np.array(rcfg.camera_pos, np.float32).copy(),
+                      np.array(rcfg.camera_target, np.float32).copy())
+        self.reset()
+
+    def reset(self):
+        self.eye = self._home[0].copy()
+        self.target = self._home[1].copy()
+
+    def orbit(self, dyaw, dpitch):
+        np = self._np
+        off = self.eye - self.target
+        r = float(np.linalg.norm(off))
+        yaw = float(np.arctan2(off[0], off[2])) + dyaw
+        pitch = float(np.arcsin(np.clip(off[1] / max(r, 1e-6), -1.0, 1.0)))
+        pitch = float(np.clip(pitch + dpitch, -1.55, 1.55))
+        self.eye = self.target + r * np.array(
+            [np.cos(pitch) * np.sin(yaw), np.sin(pitch),
+             np.cos(pitch) * np.cos(yaw)], np.float32)
+
+    def zoom(self, dr):
+        np = self._np
+        off = self.eye - self.target
+        r = float(np.linalg.norm(off))
+        r2 = float(np.clip(r + dr, 0.5, 20.0))   # main.cpp:2446-2456 clamp
+        self.eye = self.target + off / max(r, 1e-6) * r2
+
+    def move(self, fwd=0.0, right=0.0, up=0.0):
+        np = self._np
+        f = self.target - self.eye
+        f[1] = 0.0
+        n = float(np.linalg.norm(f))
+        f = f / n if n > 1e-6 else np.array([0, 0, 1], np.float32)
+        rvec = np.array([f[2], 0.0, -f[0]], np.float32)
+        d = (f * fwd + rvec * right
+             + np.array([0, 1, 0], np.float32) * up).astype(np.float32)
+        self.eye = self.eye + d
+        self.target = self.target + d
+
+
+KEY_HELP = "[arrows] orbit  [+/-] zoom  [wasdqe] fly  [r] reset  [x] quit"
+
+
+def apply_keys(rig: OrbitRig, data: bytes) -> bool:
+    """Apply pending key bytes to the rig; returns True on quit."""
+    quit_ = False
+    i = 0
+    while i < len(data):
+        c = data[i:i + 1]
+        if c == b"\x1b" and data[i + 1:i + 2] == b"[":
+            k = data[i + 2:i + 3]
+            i += 3
+            if k == b"A":
+                rig.orbit(0.0, 0.12)
+            elif k == b"B":
+                rig.orbit(0.0, -0.12)
+            elif k == b"C":
+                rig.orbit(0.12, 0.0)
+            elif k == b"D":
+                rig.orbit(-0.12, 0.0)
+            continue
+        i += 1
+        if c in (b"+", b"="):
+            rig.zoom(-0.3)
+        elif c == b"-":
+            rig.zoom(0.3)
+        elif c == b"w":
+            rig.move(fwd=0.2)
+        elif c == b"s":
+            rig.move(fwd=-0.2)
+        elif c == b"a":
+            rig.move(right=-0.2)
+        elif c == b"d":
+            rig.move(right=0.2)
+        elif c == b"q":
+            rig.move(up=-0.2)
+        elif c == b"e":
+            rig.move(up=0.2)
+        elif c in (b"r", b"R"):
+            rig.reset()
+        elif c in (b"x", b"X", b"\x03"):
+            quit_ = True
+    return quit_
+
+
+class _RawStdin:
+    """cbreak-mode stdin with non-blocking polling (restored on exit)."""
+
+    def __enter__(self):
+        import termios
+        import tty
+        self._termios = termios
+        self.fd = sys.stdin.fileno()
+        self.saved = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        return self
+
+    def poll(self) -> bytes:
+        import select
+        out = b""
+        while select.select([sys.stdin], [], [], 0)[0]:
+            chunk = os.read(self.fd, 64)
+            if not chunk:
+                break
+            out += chunk
+        return out
+
+    def __exit__(self, *exc):
+        self._termios.tcsetattr(self.fd, self._termios.TCSADRAIN, self.saved)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("paths", nargs="*",
@@ -166,7 +286,22 @@ def main(argv=None):
     scene = Scene(static, ps, mo, cfg, part_textures=part_textures,
                   cubemap=cubemap, camera=camera, mmd_maps=mmd_maps)
     state = scene.init_state()
-    step = scene.jit_step(render=True)
+    # --watch on a tty gets the live orbit camera (keyboard counterpart of
+    # the reference's mouse controller); the camera rides the jitted step
+    # as traced arguments, so steering never recompiles
+    interactive = args.watch and sys.stdin.isatty() and camera is None
+    if interactive:
+        rig = OrbitRig(cfg.render)
+        fov = float(cfg.render.camera_fov_deg)
+        base_step = jax.jit(
+            lambda s, cam: scene.step_and_render(s, camera_override=cam))
+
+        def step(s):
+            return base_step(s, (jnp.asarray(rig.eye),
+                                 jnp.asarray(rig.target),
+                                 jnp.float32(fov)))
+    else:
+        step = scene.jit_step(render=True)
 
     print(f"compiling for {args.width}x{args.height} "
           f"on {jax.devices()[0].platform}...")
@@ -207,15 +342,24 @@ def main(argv=None):
         if args.watch:
             # home the cursor and repaint in place (clear once up front)
             prefix = "\x1b[2J\x1b[H" if i == 0 else "\x1b[H"
+            tail = ("\n" + KEY_HELP + "\n") if interactive else "\n"
             sys.stdout.write(prefix + ansi_frame(np.asarray(img),
-                                                 args.watch_cols) + "\n")
+                                                 args.watch_cols) + tail)
             sys.stdout.flush()
 
     save(0, image)
     t0 = time.time()
-    for i in range(1, args.frames):
-        state, image = step(state)
-        save(i, image)
+    if interactive:
+        with _RawStdin() as keys:
+            for i in range(1, args.frames):
+                if apply_keys(rig, keys.poll()):
+                    break
+                state, image = step(state)
+                save(i, image)
+    else:
+        for i in range(1, args.frames):
+            state, image = step(state)
+            save(i, image)
     image.block_until_ready()
     dt = time.time() - t0
     n = max(args.frames - 1, 1)

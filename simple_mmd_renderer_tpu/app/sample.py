@@ -122,8 +122,12 @@ class _MeshBuilder:
         pm.triangles = np.asarray(self.tris, np.int32).reshape(-1, 3)
 
 
-def sample_character(density: float = 1.0) -> P.PmxModel:
-    """Build the flagship synthetic character (MMD units: ~20 tall)."""
+def sample_character(density: float = 1.0, n_parts: int = 2) -> P.PmxModel:
+    """Build the flagship synthetic character (MMD units: ~20 tall).
+
+    `n_parts` splits the triangle list into that many material parts
+    (real PMX models ship 10-30 parts, each its own texture bind —
+    main.cpp:2093-2146); the default 2 keeps the historical bench scene."""
     pm = P.PmxModel()
     pm.name = pm.name_en = "sample_character"
     pm.description = pm.description_en = "procedural benchmark character"
@@ -258,7 +262,14 @@ def sample_character(density: float = 1.0) -> P.PmxModel:
         P.MAT_GROUND_SHADOW | P.MAT_DRAW_EDGE,
         np.array([0.1, 0.05, 0.1, 1], F), 1.0, -1, -1, 0, True, 0, "",
         count, base)
-    pm.materials = [mat("body", half, 0), mat("extras", n_tris - half, half)]
+    if n_parts <= 2:
+        pm.materials = [mat("body", half, 0),
+                        mat("extras", n_tris - half, half)]
+    else:
+        bounds = np.linspace(0, n_tris, n_parts + 1).astype(int)
+        pm.materials = [mat(f"part{p}", int(bounds[p + 1] - bounds[p]),
+                            int(bounds[p]))
+                        for p in range(n_parts)]
 
     # --- morphs
     head_sphere = [i for i in range(len(pm.positions))
@@ -372,6 +383,15 @@ def sample_motion(length: int = 120, fps_keys: int = 5) -> V.VmdMotion:
     return V.parse_vmd(data)
 
 
+def realistic_texture_sizes(n_parts: int = 16) -> tuple:
+    """A realistic PMX texture-size mix: body/face at 2048^2, clothing at
+    1024^2, accessories smaller — the load VERDICT r2 flagged as unmeasured
+    (the 2-part bench under-represents part count and texel budget)."""
+    pattern = (2048, 2048, 1024, 1024, 1024, 512, 512, 512,
+               256, 256, 1024, 128, 512, 64, 2048, 256)
+    return tuple(pattern[i % len(pattern)] for i in range(n_parts))
+
+
 def sample_textures(sizes=(1024, 256)) -> list[np.ndarray]:
     """Procedural per-part diffuse textures for the sample character — one
     per material part, deliberately different sizes so the shelf-packed
@@ -388,6 +408,9 @@ def sample_textures(sizes=(1024, 256)) -> list[np.ndarray]:
         r = 0.92 - 0.28 * checker - 0.05 * p
         g = 0.72 + 0.20 * xx * (1.0 - checker) + 0.05 * p
         b = 0.82 - 0.30 * yy
-        out.append(np.clip(np.stack(np.broadcast_arrays(r, g, b), -1),
-                           0.0, 1.0).astype(F))
+        rgb = np.clip(np.stack(np.broadcast_arrays(r, g, b), -1), 0.0, 1.0)
+        # quantize to the 8-bit grid: these stand in for PNG textures, and
+        # 8-bit-exact sources take the u32-packed fast atlas path (floats
+        # off the grid route through the exact f32x12 atlas instead)
+        out.append((np.round(rgb * 255.0) / 255.0).astype(F))
     return out

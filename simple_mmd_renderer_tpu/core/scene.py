@@ -70,6 +70,38 @@ class Scene:
         rates = jnp.zeros((self.static.n_morphs,), jnp.float32)
         return pose_mod.pre_physics_posing(self.static, rot, trans, rates)
 
+    def _sample_anim(self, time):
+        """Motion pose inputs at `time` seconds (neutral without motion)."""
+        static = self.static
+        frame = jnp.floor(time * self.config.fps)
+        if self.motion is not None:
+            return anim_mod.sample_motion(self.motion, frame)
+        b = static.n_bones
+        anim_rot = jnp.broadcast_to(
+            jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
+        anim_trans = jnp.zeros((b, 3), jnp.float32)
+        rates = jnp.zeros((static.n_morphs,), jnp.float32)
+        return anim_rot, anim_trans, rates
+
+    def seek(self, state: SimState, t) -> SimState:
+        """Jump the animation clock to `t` seconds — the API form of the
+        reference's sequencer scrub (`main.cpp:2273-2290` re-syncs time on a
+        manual drag). A scrub discards in-flight rigid-body dynamics:
+        physics re-seeds from the animation pose at the new time exactly
+        like the reference's Reset (`mmd-bullet_impl.inl:285-310`), so
+        hair/skirts do not integrate through the time discontinuity."""
+
+        @jax.jit
+        def _seek(t):
+            anim_rot, anim_trans, rates = self._sample_anim(t)
+            pose = pose_mod.pre_physics_posing(self.static, anim_rot,
+                                               anim_trans, rates)
+            return SimState(
+                time=t,
+                physics=phys_mod.physics_reset(self.phys_static, pose))
+
+        return _seek(jnp.float32(t))
+
     def step_pose(self, state: SimState):
         """One animation+physics frame -> (state', pose, positions, normals).
 
@@ -77,18 +109,8 @@ class Scene:
         static = self.static
         cfg = self.config
         time = state.time + jnp.float32(1.0 / cfg.fps)
-        frame = jnp.floor(time * cfg.fps)
 
-        if self.motion is not None:
-            anim_rot, anim_trans, rates = anim_mod.sample_motion(
-                self.motion, frame)
-        else:
-            b = static.n_bones
-            anim_rot = jnp.broadcast_to(
-                jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
-            anim_trans = jnp.zeros((b, 3), jnp.float32)
-            rates = jnp.zeros((static.n_morphs,), jnp.float32)
-
+        anim_rot, anim_trans, rates = self._sample_anim(time)
         pose = pose_mod.pre_physics_posing(static, anim_rot, anim_trans, rates)
         physics = state.physics
         if self.motion is not None and cfg.physics.enabled \
@@ -101,10 +123,22 @@ class Scene:
                                              sdef=cfg.sdef_true)
         return SimState(time=time, physics=physics), pose, positions, normals
 
-    def step_and_render(self, state: SimState, width=None, height=None):
+    def step_and_render(self, state: SimState, width=None, height=None,
+                        camera_override=None):
+        """One frame. `camera_override` = (eye_m, target_m, fov_deg) traced
+        arrays — the live-camera path (the reference's orbit controller,
+        main.cpp:2370-2480, reads input every frame); passing them as
+        arguments keeps the jitted program valid across camera motion."""
         state, pose, positions, normals = self.step_pose(state)
         rcfg = self.config.render
-        if self.camera is not None:
+        if camera_override is not None:
+            import dataclasses
+            eye, target, fov = camera_override
+            rcfg = dataclasses.replace(
+                rcfg, camera_pos=jnp.asarray(eye, jnp.float32),
+                camera_target=jnp.asarray(target, jnp.float32),
+                camera_fov_deg=jnp.asarray(fov, jnp.float32))
+        elif self.camera is not None:
             # VMD camera track (render/camera_anim.py): positions are MMD
             # units -> meters like the vertex path
             import dataclasses

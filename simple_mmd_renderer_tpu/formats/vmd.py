@@ -95,12 +95,25 @@ class VmdMotion:
 
 
 def _group_sorted(names_raw, recs):
-    """Group structured records by raw name bytes; yields (str_name, rows sorted by frame)."""
+    """Group structured records by bone/morph NAME; yields (str_name, rows
+    sorted by frame).
+
+    Names canonicalize to their pre-NUL prefix before grouping: real
+    exporters leave uninitialized junk bytes after the terminator in the
+    fixed 15-byte field (numpy S-strings strip only TRAILING nulls, so two
+    records of the same bone can carry different raw bytes), while the
+    reference keys its maps on the NUL-truncated ShiftJIS string
+    (`util/dwarf_impl.inl:216-229`). Without this, a junk-bearing track
+    splits into one group per record and all but the last are dropped."""
     if len(recs) == 0:
         return
-    order = np.argsort(names_raw, kind="stable")
+    width = names_raw.dtype.itemsize
+    a = np.frombuffer(names_raw.tobytes(), np.uint8).reshape(-1, width).copy()
+    a[np.cumsum(a == 0, axis=1) > 0] = 0    # zero at/after the first NUL
+    canon = a.reshape(-1).view(f"S{width}")
+    order = np.argsort(canon, kind="stable")
     recs = recs[order]
-    names_sorted = names_raw[order]
+    names_sorted = canon[order]
     bounds = np.flatnonzero(
         np.concatenate([[True], names_sorted[1:] != names_sorted[:-1]]))
     bounds = np.append(bounds, len(recs))

@@ -354,15 +354,18 @@ MSAA4_OFFSETS = ((-0.125, -0.375), (0.375, -0.125),
 
 def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
                       b1_ref, b2_ref, attr_ref, sdepth_ref, scratch, sem, *,
-                      tiles_x, n_attrs, chunk):
+                      tiles_x, n_attrs, chunk, inst_tiles=0):
     """4x-MSAA variant of _raster_kernel: per-pixel center visibility +
     attributes (coverage extended to any-sample so edge pixels carry valid
     attributes, like non-centroid GPU interpolation) plus PER-SAMPLE depth
     at the 4 standard offsets. Per-sample deltas of every plane are scalar
-    constants per entry, so each extra sample costs ~12 vector ops."""
+    constants per entry, so each extra sample costs ~12 vector ops.
+    `inst_tiles` > 0 folds the fused multi-instance (crowd) grid exactly as
+    in _raster_kernel."""
     i = pl.program_id(0)
-    ty = i // tiles_x
-    tx = i % tiles_x
+    local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
+    ty = local // tiles_x
+    tx = local % tiles_x
     y0 = (ty * TILE_H).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
     ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
@@ -475,16 +478,16 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     # un-bias: empty stays far (1.0); extrapolated edge winners drop the +2
     depth = jnp.where(tri < 0, 1.0,
                       jnp.where(depth > 1.5, depth - 2.0, depth))
-    depth_ref[...] = depth
-    tri_ref[...] = tri
-    b1_ref[...] = b1v
-    b2_ref[...] = b2v
-    sdepth_ref[...] = sdepth
+    depth_ref[...] = depth.reshape(depth_ref.shape)
+    tri_ref[...] = tri.reshape(tri_ref.shape)
+    b1_ref[...] = b1v.reshape(b1_ref.shape)
+    b2_ref[...] = b2v.reshape(b2_ref.shape)
+    sdepth_ref[...] = sdepth.reshape(sdepth_ref.shape)
     if n_attrs:
         safe = jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
-        attr_ref[...] = num / safe[None, :, :]
+        attr_ref[...] = (num / safe[None, :, :]).reshape(attr_ref.shape)
     else:
-        attr_ref[...] = num
+        attr_ref[...] = num.reshape(attr_ref.shape)
 
 
 def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
@@ -1027,6 +1030,88 @@ def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
     attr = jnp.moveaxis(attr, 1, -1)
     attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
     return vis, attr
+
+
+def _run_kernel_ms_multi(sorted_rows, starts, counts, n_inst, width, height,
+                         n_attrs, chunk):
+    assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
+    pad_w = -(-width // TILE_W) * TILE_W
+    pad_h = -(-height // TILE_H) * TILE_H
+    tiles_x = pad_w // TILE_W
+    n_tiles = (pad_h // TILE_H) * tiles_x
+    na = max(n_attrs, 1)
+    row_w = sorted_rows.shape[1]
+
+    def idx(i, s, c):
+        return (i // n_tiles, (i % n_tiles) // tiles_x,
+                (i % n_tiles) % tiles_x)
+
+    def idx4(n):
+        return pl.BlockSpec((1, n, TILE_H, TILE_W),
+                            lambda i, s, c: (i // n_tiles, 0,
+                                             (i % n_tiles) // tiles_x,
+                                             (i % n_tiles) % tiles_x),
+                            memory_space=pltpu.VMEM)
+
+    tile_spec = lambda: pl.BlockSpec((1, TILE_H, TILE_W), idx,
+                                     memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_inst * n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[tile_spec(), tile_spec(), tile_spec(), tile_spec(),
+                   idx4(na), idx4(4)],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, tri, b1, b2, attr, sdepth = pl.pallas_call(
+        partial(_raster_kernel_ms, tiles_x=tiles_x, n_attrs=n_attrs,
+                chunk=chunk, inst_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, na, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, 4, pad_h, pad_w), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(starts, counts, sorted_rows)
+    vis = raster.VisBuffer(
+        depth=depth[:, :height, :width],
+        tri=tri[:, :height, :width],
+        bary=jnp.stack([b1[:, :height, :width], b2[:, :height, :width]], -1))
+    return vis, attr[:, :, :height, :width], sdepth[:, :, :height, :width]
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
+                                     cull=raster.CULL_BACK, chunk=256):
+    """Fused multi-instance 4x-MSAA raster: per-pixel center visibility +
+    attributes plus per-sample depth [I, 4, H, W], semantics identical to
+    rasterize_attrs_tiled_msaa per instance (covers-all binning — no
+    big-triangle path, exact for any geometry)."""
+    def per_inst(clip_i, attrs_i):
+        g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
+        s = raster.setup(clip_i, tris, width, height, cull, cv=g[..., :4],
+                         sample_extent=0.375)
+        s["va"] = g[..., 4:]
+        return s
+
+    s = jax.vmap(per_inst)(clip, attrs)
+    rows = jax.vmap(
+        lambda si, ai: _setup_rows(
+            si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
+    sorted_rows, starts, counts = _bin_multi(s, rows, width, height, chunk)
+    vis, attr, sdepth = _run_kernel_ms_multi(
+        sorted_rows, starts, counts, clip.shape[0], width, height,
+        attrs.shape[-1], chunk)
+    attr = jnp.moveaxis(attr, 1, -1)
+    attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
+    return vis, attr, sdepth
 
 
 def _run_depth_kernel_multi(sorted_rows, starts, counts, n_inst, width,

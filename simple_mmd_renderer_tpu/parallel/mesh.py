@@ -45,20 +45,28 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None):
     multi-instance raster (render.pipeline.crowd_render_frame): one binning
     sort and one kernel launch across all instances, instead of vmapping
     the single-instance pipeline (whose per-instance fixed costs dominate
-    at crowd viewport sizes). Anything the fused path doesn't cover
-    (textures, skybox, MSAA, VMD camera) falls back to the vmap."""
+    at crowd viewport sizes). Textures and native 4x MSAA are fused; what
+    the fused path doesn't cover (skybox, VMD camera, edge outlines,
+    double-sided materials, extended morphs, MMD toon shading) falls back
+    to the vmap."""
     if not render:
         return jax.vmap(scene.step_pose)
 
     from ..render.pipeline import (crowd_render_frame,
                                    crowd_render_supported)
-    if scene.mmd_maps is None and crowd_render_supported(
-            scene.config.render, scene.part_textures, scene.cubemap,
-            scene.camera):
+    st = scene.static
+    uses_ext_morphs = bool(
+        scene.config.apply_extended_morphs
+        and (len(st.um_morph) or len(st.mm_morph)))
+    if scene.mmd_maps is None and not uses_ext_morphs \
+            and crowd_render_supported(
+                scene.config.render, scene.part_textures, scene.cubemap,
+                scene.camera):
         def step(state):
             state, pose, positions, normals = jax.vmap(scene.step_pose)(state)
             images = crowd_render_frame(scene.static, positions, normals,
-                                        scene.config.render, width, height)
+                                        scene.config.render, width, height,
+                                        part_textures=scene.part_textures)
             return state, images
         return step
 

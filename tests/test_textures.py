@@ -53,7 +53,7 @@ def test_atlas_matches_per_part():
         bary=jnp.zeros((h, w, 2)))
     uv = jnp.asarray(rng.random((h, w, 2)).astype(np.float32)) * 0.9
 
-    atlas_out = np.asarray(_albedo_atlas(static, vis, uv, textures))
+    atlas_out = np.asarray(_albedo_atlas(static, vis.tri, uv, textures))
     # per-part reference (force the loop path with a white dummy difference)
     ref = np.ones((h, w, 3), np.float32)
     for p, (base, count) in enumerate([(0, 1), (1, 1)]):
@@ -76,7 +76,7 @@ def test_character_albedo_dispatches_to_atlas():
         tri=jnp.zeros((h, w), jnp.int32),
         bary=jnp.zeros((h, w, 2)))
     uv = jnp.full((h, w, 2), 0.3)
-    out = np.asarray(character_albedo(static, vis, uv, textures))
+    out = np.asarray(character_albedo(static, vis.tri, uv, textures))
     assert out.shape == (h, w, 3)
     assert np.isfinite(out).all()
 
@@ -128,3 +128,57 @@ def test_textured_sample_renders():
     assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
     # textured character must actually show texture variation (not all-white)
     assert img.std() > 0.02
+
+
+def test_windowed_albedo_matches_full_frame():
+    """The bbox-window albedo (lax.switch over static window sizes) must be
+    exact (to f32 fusion rounding) on every covered pixel and white outside the character bbox."""
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        character_albedo_windowed)
+    static = _two_part_model()
+    rng = np.random.default_rng(5)
+    textures = [rng.random((16, 16, 3)).astype(np.float32),
+                rng.random((8, 8, 3)).astype(np.float32)]
+    h, w = 544, 1024
+    tri = np.full((h, w), -1, np.int32)
+    # character patch away from the origin (forces nonzero window offsets)
+    tri[200:330, 500:700] = rng.integers(0, 2, (130, 200))
+    tri_j = jnp.asarray(tri)
+    uv = jnp.asarray(rng.random((h, w, 2)).astype(np.float32))
+    got = np.asarray(character_albedo_windowed(static, tri_j, uv, textures))
+    ref = np.asarray(character_albedo(static, tri_j, uv, textures))
+    covered = tri >= 0
+    np.testing.assert_allclose(got[covered], ref[covered], atol=1e-6)
+    # outside the WINDOW (offsets align down to the (8, 128) register
+    # tile: y=200, x=384): exact white (masked downstream anyway)
+    assert (got[:200] == 1.0).all() and (got[:, :384] == 1.0).all()
+
+
+def test_float_textures_take_exact_f32_atlas():
+    """Textures off the 8-bit grid must sample bit-exactly (r2 ADVICE: the
+    u32 atlas silently quantized procedural float textures)."""
+    static = _two_part_model()
+    rng = np.random.default_rng(9)
+    textures = [rng.random((8, 8, 3)).astype(np.float32),
+                rng.random((4, 4, 3)).astype(np.float32)]
+    h, w = 16, 24
+    tri = jnp.asarray(rng.integers(0, 2, (h, w)).astype(np.int32))
+    uv = jnp.asarray(rng.random((h, w, 2)).astype(np.float32)) * 0.9
+    out = np.asarray(_albedo_atlas(static, tri, uv, textures))
+    ref = np.ones((h, w, 3), np.float32)
+    for p in range(2):
+        mask = np.asarray(tri) == p
+        col = np.asarray(sample_bilinear(textures[p], uv))
+        ref[mask] = col[mask]
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # and 8-bit-exact textures still produce 8-bit-exact results
+    textures8 = [np.round(t * 255.0) / 255.0 for t in textures]
+    out8 = np.asarray(_albedo_atlas(static, tri, uv,
+                                    [t.astype(np.float32)
+                                     for t in textures8]))
+    ref8 = np.ones((h, w, 3), np.float32)
+    for p in range(2):
+        mask = np.asarray(tri) == p
+        col = np.asarray(sample_bilinear(textures8[p].astype(np.float32), uv))
+        ref8[mask] = col[mask]
+    np.testing.assert_allclose(out8, ref8, atol=1.5 / 255.0)
