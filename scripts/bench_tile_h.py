@@ -36,9 +36,12 @@ def main():
         def scan_body(c, _):
             return body(c), None
         fn = jax.jit(lambda c: jax.lax.scan(scan_body, c, None, length=n)[0])
-        c = fn(jnp.float32(0.0)).block_until_ready()
+        # host transfer (float()) flushes the axon tunnel;
+        # block_until_ready does NOT — without this the first timed stage
+        # absorbs leftover queued work and reads 4-40x high
+        c = float(fn(jnp.float32(0.0)))
         t0 = time.time()
-        c = fn(c * 1e-20).block_until_ready()
+        c = float(fn(jnp.float32(c * 1e-20)))
         print(f"{name:28s} {(time.time() - t0) / n * 1000:8.3f} ms",
               flush=True)
 
@@ -60,12 +63,22 @@ def main():
                                               256)
             return jnp.mean(vis.depth) + jnp.mean(a)
 
+        def char_uv(c):
+            uvs = jnp.asarray(static.uvs)
+            attrs = jnp.concatenate([normals, uvs], -1)
+            clip = raster.transform_clip(verts + c * 1e-20, mats["mvp"])
+            vis, a = tr.rasterize_attrs_tiled(clip, tris, attrs, width,
+                                              height, raster.CULL_BACK, 6,
+                                              256)
+            return jnp.mean(vis.depth) + jnp.mean(a)
+
         def shad(c):
             return jnp.mean(pl_mod.shadow_pass(
                 verts + c * 1e-20, tris, mats["light_mvp"], shadow,
                 tr.rasterize_tiled))
 
         timed(f"char_raster[{label}]", char)
+        timed(f"char_raster_uv[{label}]", char_uv)
         timed(f"shadow[{label}]", shad)
 
 

@@ -293,13 +293,15 @@ def main(argv=None):
     if interactive:
         rig = OrbitRig(cfg.render)
         fov = float(cfg.render.camera_fov_deg)
+        atlas = scene.packed_atlas()
         base_step = jax.jit(
-            lambda s, cam: scene.step_and_render(s, camera_override=cam))
+            lambda s, cam, atl: scene.step_and_render(
+                s, camera_override=cam, atlas=atl))
 
         def step(s):
             return base_step(s, (jnp.asarray(rig.eye),
                                  jnp.asarray(rig.target),
-                                 jnp.float32(fov)))
+                                 jnp.float32(fov)), atlas)
     else:
         step = scene.jit_step(render=True)
 

@@ -56,6 +56,10 @@ class RenderConfig:
     shadow_frustum_half: float = 5.0
     shadow_near: float = 0.1
     shadow_far: float = 100.0
+    # albedo texture gathers restricted to the character's screen bbox
+    # (render.pipeline.character_albedo_windowed); False forces full-frame
+    # sampling (perf comparison / debugging)
+    albedo_window: bool = True
     # ground shadow factor is sampled at 1/N resolution and bilinearly
     # upsampled (the 3x3 PCF is already a blur at that scale); 1 = exact
     # per-pixel lookup. TPU random gathers cost ~12us/kpx, so this is the

@@ -50,6 +50,22 @@ class Scene:
     # beyond-parity MMD toon/SPH/SPA shading path when set
     mmd_maps: tuple | None = None
 
+    def packed_atlas(self):
+        """Device-packed texture atlas (render.pipeline.PackedAtlas), built
+        once and passed through jit as an ARGUMENT: large texture sets
+        (16 parts at 2048^2 pack to hundreds of MB) must not be baked into
+        the traced program as constants — the axon remote-compile endpoint
+        rejects such programs outright (HTTP 413), and constant-folding
+        them bloats every lowering."""
+        if self.part_textures is None:
+            return None
+        if getattr(self, "_atlas_src", None) is not self.part_textures:
+            from ..render.pipeline import build_packed_atlas
+            object.__setattr__(self, "_atlas",
+                               build_packed_atlas(self.part_textures))
+            object.__setattr__(self, "_atlas_src", self.part_textures)
+        return self._atlas
+
     def init_state(self) -> SimState:
         # jitted: eagerly this is thousands of tiny dispatches (neutral-pose
         # FK/IK + physics seed), which costs minutes through a remote-tunnel
@@ -124,7 +140,7 @@ class Scene:
         return SimState(time=time, physics=physics), pose, positions, normals
 
     def step_and_render(self, state: SimState, width=None, height=None,
-                        camera_override=None):
+                        camera_override=None, atlas=None):
         """One frame. `camera_override` = (eye_m, target_m, fov_deg) traced
         arrays — the live-camera path (the reference's orbit controller,
         main.cpp:2370-2480, reads input every frame); passing them as
@@ -165,20 +181,24 @@ class Scene:
                              cubemap=self.cubemap,
                              width=width, height=height,
                              uv_offsets=uv_off, part_color=part_color,
-                             mmd_maps=self.mmd_maps)
+                             mmd_maps=self.mmd_maps, atlas=atlas)
         return state, image
 
     def jit_step(self, render: bool = True, width=None, height=None,
                  donate: bool = True):
-        """Compile the per-frame function once."""
-        if render:
-            fn = partial(self.step_and_render, width=width, height=height)
-        else:
-            fn = self.step_pose
-        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+        """Compile the per-frame function once. The texture atlas rides as
+        a jit argument (see packed_atlas), not a baked constant."""
+        if not render:
+            return jax.jit(self.step_pose,
+                           donate_argnums=(0,) if donate else ())
+        atlas = self.packed_atlas()
+        fn = jax.jit(
+            partial(self.step_and_render, width=width, height=height),
+            donate_argnums=(0,) if donate else ())
+        return lambda state: fn(state, atlas=atlas)
 
     def rollout(self, state: SimState, n_frames: int, render: bool = True,
-                width=None, height=None):
+                width=None, height=None, atlas=None):
         """N frames inside one device program (lax.scan): the offline-render /
         benchmark path — a single dispatch regardless of frame count.
 
@@ -189,7 +209,8 @@ class Scene:
         def body(state, _):
             if render:
                 state, image = self.step_and_render(state, width=width,
-                                                    height=height)
+                                                    height=height,
+                                                    atlas=atlas)
                 return state, jnp.mean(image)
             state, _, positions, _ = self.step_pose(state)
             return state, jnp.mean(positions)
@@ -198,6 +219,8 @@ class Scene:
 
     def jit_rollout(self, n_frames: int, render: bool = True, width=None,
                     height=None):
-        return jax.jit(partial(self.rollout, n_frames=n_frames, render=render,
-                               width=width, height=height),
-                       donate_argnums=(0,))
+        atlas = self.packed_atlas() if render else None
+        fn = jax.jit(partial(self.rollout, n_frames=n_frames, render=render,
+                             width=width, height=height),
+                     donate_argnums=(0,))
+        return lambda state: fn(state, atlas=atlas)

@@ -299,6 +299,11 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
         tid = rg[:, 10]                                     # [G]
 
+        # attribute accumulators are a TUPLE of [TH,TW] planes, not one
+        # stacked [na,TH,TW] tensor: re-stacking inside the unrolled entry
+        # loop forced a relayout per select in Mosaic and roughly doubled
+        # the per-channel cost (measured 4 ms for +2 UV channels at any
+        # resolution before this change)
         for g_i in range(GROUP):                            # static unroll
             zg = zm[g_i]
             passed = zg <= depth
@@ -308,9 +313,9 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             b2v = jnp.where(passed, w2[g_i], b2v)
             if n_attrs:
                 den = jnp.where(passed, den_p[g_i], den)
-                num = jnp.stack([
+                num = tuple(
                     jnp.where(passed, num_p[a][g_i], num[a])
-                    for a in range(n_attrs)])
+                    for a in range(n_attrs))
         return depth, tri, b1v, b2v, num, den
 
     na = max(n_attrs, 1)
@@ -318,7 +323,8 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            jnp.zeros((na, TILE_H, TILE_W), jnp.float32),
+            tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                  for _ in range(na)),
             jnp.ones((TILE_H, TILE_W), jnp.float32))
 
     def chunk_body(c, carry):
@@ -342,9 +348,10 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     b2_ref[...] = b2v.reshape(b2_ref.shape)
     if n_attrs:
         safe = jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
-        attr_ref[...] = (num / safe[None, :, :]).reshape(attr_ref.shape)
+        attr_ref[...] = (jnp.stack(num) / safe[None, :, :]).reshape(
+            attr_ref.shape)
     else:
-        attr_ref[...] = num.reshape(attr_ref.shape)
+        attr_ref[...] = jnp.stack(num).reshape(attr_ref.shape)
 
 
 # D3D11/OpenGL standard 4x MSAA sample pattern (pixel units from center)
@@ -435,9 +442,11 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             den_p = plane(BASE_WIDTH)
             num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
 
+        # per-channel tuple carries (see _raster_kernel.body: re-stacking
+        # inside the unrolled loop costs a relayout per select)
         for g_i in range(GROUP):                     # static unroll
-            new_sd = [jnp.minimum(sdepth[s], szm[s][g_i]) for s in range(4)]
-            sdepth = jnp.stack(new_sd)
+            sdepth = tuple(jnp.minimum(sdepth[s], szm[s][g_i])
+                           for s in range(4))
             zg = zb[g_i]
             passed = zg <= depth
             depth = jnp.where(passed, zg, depth)
@@ -446,9 +455,9 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             b2v = jnp.where(passed, w2[g_i], b2v)
             if n_attrs:
                 den = jnp.where(passed, den_p[g_i], den)
-                num = jnp.stack([
+                num = tuple(
                     jnp.where(passed, num_p[a][g_i], num[a])
-                    for a in range(n_attrs)])
+                    for a in range(n_attrs))
         return depth, tri, b1v, b2v, num, den, sdepth
 
     na = max(n_attrs, 1)
@@ -456,9 +465,11 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            jnp.zeros((na, TILE_H, TILE_W), jnp.float32),
+            tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                  for _ in range(na)),
             jnp.ones((TILE_H, TILE_W), jnp.float32),
-            jnp.ones((4, TILE_H, TILE_W), jnp.float32))
+            tuple(jnp.ones((TILE_H, TILE_W), jnp.float32)
+                  for _ in range(4)))
 
     def chunk_body(c, carry):
         slot = jax.lax.rem(c, 2)
@@ -482,12 +493,13 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     tri_ref[...] = tri.reshape(tri_ref.shape)
     b1_ref[...] = b1v.reshape(b1_ref.shape)
     b2_ref[...] = b2v.reshape(b2_ref.shape)
-    sdepth_ref[...] = sdepth.reshape(sdepth_ref.shape)
+    sdepth_ref[...] = jnp.stack(sdepth).reshape(sdepth_ref.shape)
     if n_attrs:
         safe = jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
-        attr_ref[...] = (num / safe[None, :, :]).reshape(attr_ref.shape)
+        attr_ref[...] = (jnp.stack(num) / safe[None, :, :]).reshape(
+            attr_ref.shape)
     else:
-        attr_ref[...] = num.reshape(attr_ref.shape)
+        attr_ref[...] = jnp.stack(num).reshape(attr_ref.shape)
 
 
 def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,

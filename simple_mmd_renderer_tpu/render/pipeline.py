@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..config import RenderConfig
 from ..formats.textures import sample_bilinear
@@ -148,18 +149,19 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
     return vis.depth
 
 
-def character_albedo(static, tri, uv_px, part_textures):
+def character_albedo(static, tri, uv_px, part_textures, atlas=None):
     """Per-part diffuse texture lookup (main.cpp:2093-2146: one draw + bind
     per part) from the triangle-id image `tri` [H,W]. Any real texture
     routes through the packed-neighborhood atlas: full bilinear from ONE
     gather per pixel — TPU gathers dominate the cost
     (scripts/bench_gather.py). Flat-color-only parts keep the gather-free
-    broadcast path."""
+    broadcast path. Pass `atlas` (PackedAtlas) through jit arguments for
+    large texture sets (see PackedAtlas)."""
     import numpy as np
     real = [p for p, t in enumerate(part_textures)
             if t.shape[0] > 1 or t.shape[1] > 1]
-    if len(real) >= 1:
-        return _albedo_atlas(static, tri, uv_px, part_textures)
+    if atlas is not None or len(real) >= 1:
+        return _albedo_atlas(static, tri, uv_px, part_textures, atlas)
 
     albedo = jnp.ones(tri.shape + (3,), jnp.float32)
     for p in range(len(static.part_base)):
@@ -216,7 +218,45 @@ def _pack_atlas(part_textures):
     return atlas, offsets.astype(np.float32), sizes.astype(np.float32)
 
 
-def _albedo_atlas(static, tri, uv_px, part_textures):
+@struct.dataclass
+class PackedAtlas:
+    """Device form of the shelf-packed texture atlas.
+
+    This is a PYTREE meant to ride through `jit` as an ARGUMENT: a 16-part
+    2048^2 texture set packs to hundreds of MB, and baking that into the
+    traced program as a constant blows up lowering (the axon remote-compile
+    endpoint rejects the request body outright — HTTP 413). `data` is
+    [H,W,4] uint32 (bit-packed RGB888 2x2 neighborhoods) when every source
+    texel sits on the 8-bit grid, else [H,W,12] float32."""
+    data: jnp.ndarray
+    offsets: jnp.ndarray      # [P,2] i32 (y,x) atlas placement
+    sizes: jnp.ndarray        # [P,2] f32 (h,w) per part
+    eight_bit: bool = struct.field(pytree_node=False, default=True)
+
+
+def build_packed_atlas(part_textures) -> "PackedAtlas | None":
+    """Host-side packing -> PackedAtlas (None when every part is a flat
+    1x1 color, which keeps the gather-free broadcast path)."""
+    import numpy as np
+    if part_textures is None or not any(
+            t.shape[0] > 1 or t.shape[1] > 1 for t in part_textures):
+        return None
+    atlas, offsets, sizes = _pack_atlas(part_textures)
+    scaled = atlas * 255.0
+    eight_bit = bool(np.abs(scaled - np.round(scaled)).max() < 1e-3)
+    if eight_bit:
+        q8 = np.clip(scaled + 0.5, 0, 255).astype(np.uint32)
+        data = (q8[..., 0::3] | (q8[..., 1::3] << 8)
+                | (q8[..., 2::3] << 16))             # [H,W,4] u32
+    else:
+        data = atlas                                  # [H,W,12] f32
+    return PackedAtlas(data=jnp.asarray(data),
+                       offsets=jnp.asarray(offsets.astype(np.int32)),
+                       sizes=jnp.asarray(sizes),
+                       eight_bit=eight_bit)
+
+
+def _albedo_atlas(static, tri, uv_px, part_textures, atlas=None):
     """Single-pass atlas sampling: all parts' textures shelf-packed into one
     neighborhood-packed atlas, per-pixel part id from the triangle id, full
     bilinear filtering from ONE gather per pixel. For 8-bit-exact sources
@@ -226,16 +266,15 @@ def _albedo_atlas(static, tri, uv_px, part_textures):
     4-gather f32 bilinear ~5x, and quantization is exact. Float sources
     that do not sit on the 8-bit grid (procedural textures) instead gather
     f32x12 rows — ~3x the row bytes but bit-exact bilinear (r2 ADVICE:
-    the unconditional u32 atlas silently quantized float textures)."""
+    the unconditional u32 atlas silently quantized float textures).
+
+    Pass `atlas` (PackedAtlas, e.g. through jit arguments) for large
+    texture sets; built inline from `part_textures` when omitted."""
     import numpy as np
     pn = len(part_textures)
-    atlas, offsets, sizes = _pack_atlas(part_textures)
-    atlas_w = atlas.shape[1]
-    scaled = atlas * 255.0
-    eight_bit = bool(np.abs(scaled - np.round(scaled)).max() < 1e-3)
-    q8 = np.clip(scaled + 0.5, 0, 255).astype(np.uint32)
-    atlas_u32 = (q8[..., 0::3] | (q8[..., 1::3] << 8)
-                 | (q8[..., 2::3] << 16))            # [H,W,4] u32
+    if atlas is None:
+        atlas = build_packed_atlas(part_textures)
+    atlas_w = atlas.data.shape[1]
 
     # part id per pixel: first part whose range contains the triangle id
     bounds = np.asarray(static.part_base, np.int32)
@@ -243,10 +282,10 @@ def _albedo_atlas(static, tri, uv_px, part_textures):
     pid = jnp.clip(jnp.searchsorted(jnp.asarray(bounds), tri, side="right")
                    - 1, 0, pn - 1)
 
-    th = jnp.asarray(sizes[:, 0])[pid]
-    tw = jnp.asarray(sizes[:, 1])[pid]
-    oy = jnp.asarray(offsets[:, 0].astype(np.int32))[pid]
-    ox = jnp.asarray(offsets[:, 1].astype(np.int32))[pid]
+    th = atlas.sizes[:, 0][pid]
+    tw = atlas.sizes[:, 1][pid]
+    oy = atlas.offsets[:, 0][pid]
+    ox = atlas.offsets[:, 1][pid]
     u = uv_px[..., 0] * tw - 0.5
     v = uv_px[..., 1] * th - 0.5
     x0 = jnp.floor(u)
@@ -260,8 +299,8 @@ def _albedo_atlas(static, tri, uv_px, part_textures):
     xm = jnp.mod(x0, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
     ym = jnp.mod(y0, jnp.maximum(th.astype(jnp.int32), 1)) + oy
 
-    if eight_bit:
-        flat = jnp.asarray(atlas_u32).reshape(-1, 4)
+    if atlas.eight_bit:
+        flat = atlas.data.reshape(-1, 4)
         q = flat[ym * atlas_w + xm]      # [.., 4] u32 = c00 c10 c01 c11
 
         def corner(i):
@@ -269,7 +308,7 @@ def _albedo_atlas(static, tri, uv_px, part_textures):
             return jnp.stack([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
                              -1).astype(jnp.float32) * (1.0 / 255.0)
     else:
-        flat = jnp.asarray(atlas).reshape(-1, 12)
+        flat = atlas.data.reshape(-1, 12)
         q = flat[ym * atlas_w + xm]      # [.., 12] f32
 
         def corner(i):
@@ -279,8 +318,11 @@ def _albedo_atlas(static, tri, uv_px, part_textures):
     return top * (1 - fy) + bot * fy
 
 
-def _window_ladder(full, unit, fracs=(0.27, 0.53)):
-    """Static ladder of window sizes (multiples of `unit`, ending at full)."""
+def _window_ladder(full, unit, fracs=(0.15, 0.27, 0.40, 0.55, 0.75)):
+    """Static ladder of window sizes (multiples of `unit`, ending at full).
+    All sizes live in ONE program (lax.switch branches), so a finer ladder
+    costs compile time, not runtime — and cuts window slack: the albedo
+    pass scales with window pixels."""
     out = []
     for f in fracs:
         s = min(-(-int(full * f) // unit) * unit, full)
@@ -290,7 +332,36 @@ def _window_ladder(full, unit, fracs=(0.27, 0.53)):
     return out
 
 
-def character_albedo_windowed(static, tri, uv_px, part_textures):
+def affine_uv_rows(uvs, tris):
+    """Per-triangle affine UV plane rows [T, 8]: (u0, v0, du1, dv1, du2,
+    dv2, 0, 0) — uv(pixel) = (u0, v0) + b1*(du1, dv1) + b2*(du2, dv2) from
+    the visibility buffer's screen barycentrics. See uv_from_vis."""
+    g = jnp.asarray(uvs)[tris]                        # [T,3,2]
+    u0 = g[:, 0]
+    d1 = g[:, 1] - g[:, 0]
+    d2 = g[:, 2] - g[:, 0]
+    pad = jnp.zeros((tris.shape[0], 2), jnp.float32)
+    return jnp.concatenate([u0, d1, d2, pad], -1)
+
+
+def uv_from_vis(tri, bary, uv_rows):
+    """Reconstruct per-pixel UVs from the visibility buffer: one 32-byte row
+    gather per pixel instead of riding 2 attribute channels through the
+    raster kernel (the kernel's per-entry plane materializations are
+    VMEM-traffic-bound: +2 channels measured ~4 ms at the bench scene,
+    independent of resolution). Interpolation is AFFINE in screen space —
+    exact to well under a texel for character-scale triangles (~16 px); the
+    perspective deviation only matters for screen-filling triangles, which
+    the big-tri fallback rasterizes separately anyway."""
+    r = uv_rows[jnp.maximum(tri, 0)]                  # [.., 8] gather
+    b1 = bary[..., 0]
+    b2 = bary[..., 1]
+    return jnp.stack([r[..., 0] + b1 * r[..., 2] + b2 * r[..., 4],
+                      r[..., 1] + b1 * r[..., 3] + b2 * r[..., 5]], -1)
+
+
+def character_albedo_windowed(static, tri, uv_px, part_textures,
+                              atlas=None, bary=None, uv_rows=None):
     """character_albedo restricted to the character's screen bounding box.
 
     TPU random gathers cost ~5 ns each regardless of row locality
@@ -303,13 +374,19 @@ def character_albedo_windowed(static, tri, uv_px, part_textures):
     the (8, 128) register tile so the dynamic slice costs no relayout.
     Pixels outside the bbox have no character coverage, so white albedo
     there is exact (they are masked by char_mask downstream): the result is
-    bit-identical to the full-frame path wherever it is consumed."""
+    bit-identical to the full-frame path wherever it is consumed.
+
+    With `bary` + `uv_rows` (affine_uv_rows), per-pixel UVs are
+    reconstructed inside the window (uv_from_vis) and `uv_px` may be None —
+    the raster kernel then carries no UV channels at all."""
     h, w = tri.shape
     ws = _window_ladder(w, 128)
     hs = _window_ladder(h, 8)
     if h * w < 512 * 512 or (len(ws) == 1 and len(hs) == 1):
         # small frames: the switch costs more than it saves
-        return character_albedo(static, tri, uv_px, part_textures)
+        if uv_rows is not None:
+            uv_px = uv_from_vis(tri, bary, uv_rows)
+        return character_albedo(static, tri, uv_px, part_textures, atlas)
 
     cov = tri >= 0
     cov_x = jnp.any(cov, axis=0)
@@ -330,9 +407,15 @@ def character_albedo_windowed(static, tri, uv_px, part_textures):
             ox = jnp.clip(x0, 0, w - w_win)
             oy = jnp.clip(y0, 0, h - h_win)
             tri_w = jax.lax.dynamic_slice(tri, (oy, ox), (h_win, w_win))
-            uv_w = jax.lax.dynamic_slice(
-                uv_px, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
-            alb = character_albedo(static, tri_w, uv_w, part_textures)
+            if uv_rows is not None:
+                b_w = jax.lax.dynamic_slice(
+                    bary, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
+                uv_w = uv_from_vis(tri_w, b_w, uv_rows)
+            else:
+                uv_w = jax.lax.dynamic_slice(
+                    uv_px, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
+            alb = character_albedo(static, tri_w, uv_w, part_textures,
+                                   atlas)
             full = jnp.ones((h, w, 3), jnp.float32)
             return jax.lax.dynamic_update_slice(
                 full, alb, (oy, ox, jnp.int32(0)))
@@ -357,7 +440,8 @@ def crowd_render_supported(cfg: RenderConfig, part_textures=None,
 
 
 def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
-                       width=None, height=None, part_textures=None):
+                       width=None, height=None, part_textures=None,
+                       atlas=None):
     """Fused multi-instance frame: positions/normals carry a leading
     instance axis; ONE binning sort and ONE kernel launch cover all
     instances' character and shadow rasters (ops/tiled_raster crowd path).
@@ -443,7 +527,8 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         lambda d: unproject_depth(d, vp, width, height))(vis.depth)
     if part_textures is not None:
         albedo = jax.vmap(
-            lambda t, uv: character_albedo(static, t, uv, part_textures))(
+            lambda t, uv: character_albedo(static, t, uv, part_textures,
+                                           atlas))(
                 vis.tri, attr_px[..., 3:5])
     else:
         albedo = jnp.ones((n_inst, height, width, 3), jnp.float32)
@@ -465,7 +550,7 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                  part_textures=None, cubemap=None, model_mat=None,
                  width=None, height=None, uv_offsets=None, part_color=None,
-                 mmd_maps=None):
+                 mmd_maps=None, atlas=None):
     """Full main-pass image, [H,W,3] float32 in [0,1].
 
     positions_mmd/normals: deformed vertices from core.pose.deform (MMD
@@ -485,7 +570,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                            part_textures=part_textures, cubemap=cubemap,
                            model_mat=model_mat, width=2 * width,
                            height=2 * height, uv_offsets=uv_offsets,
-                           part_color=part_color, mmd_maps=mmd_maps)
+                           part_color=part_color, mmd_maps=mmd_maps,
+                           atlas=atlas)
         return big.reshape(height, 2, width, 2, 3).mean(axis=(1, 3))
     mats = build_matrices(cfg, model_mat, aspect=width / height)
 
@@ -571,13 +657,21 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     # raster loop. UV channels ride along only when textures exist.
     clip = raster.transform_clip(verts_m, mats["mvp"])
     attr_list = [jnp.asarray(normals)]
+    # deferred UV: with the windowed albedo on the tiled raster, per-pixel
+    # UVs are reconstructed from the visibility buffer inside the window
+    # (uv_from_vis) instead of riding the kernel as 2 attribute channels
+    # (measured ~4 ms of per-entry VMEM traffic at the bench scene)
+    defer_uv = (part_textures is not None and cfg.albedo_window
+                and raster_fn is not raster.rasterize)
     if part_textures is not None:
         uvs = jnp.asarray(static.uvs)
         if uv_offsets is not None:
             # UV morphs (beyond-parity, AppConfig.apply_extended_morphs)
             uvs = uvs + uv_offsets
-        attr_list.append(uvs)
-    attrs = jnp.concatenate(attr_list, -1)
+        if not defer_uv:
+            attr_list.append(uvs)
+    attrs = jnp.concatenate(attr_list, -1) if len(attr_list) > 1 \
+        else attr_list[0]
     # double-sided materials (beyond-parity; the reference's single
     # back-cull pipeline ignores MAT_DOUBLE_FACE): exempt their triangles
     # from face culling
@@ -605,7 +699,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],
                                width, height)
     nrm_px = attr_px[..., 0:3]
-    uv_px = attr_px[..., 3:5] if part_textures is not None else None
+    uv_px = (attr_px[..., 3:5]
+             if part_textures is not None and not defer_uv else None)
     if model_mat is not None:
         # world_px is already post-model-transform (unprojected from the
         # rendered depth); only normals need the normal-matrix correction
@@ -622,8 +717,16 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     if part_textures is None:
         albedo = jnp.ones((height, width, 3), jnp.float32)
     else:
-        albedo = character_albedo_windowed(static, vis.tri, uv_px,
-                                           part_textures)
+        if defer_uv:
+            albedo = character_albedo_windowed(
+                static, vis.tri, None, part_textures, atlas,
+                bary=vis.bary, uv_rows=affine_uv_rows(uvs, tris))
+        elif cfg.albedo_window:
+            albedo = character_albedo_windowed(static, vis.tri, uv_px,
+                                               part_textures, atlas)
+        else:
+            albedo = character_albedo(static, vis.tri, uv_px,
+                                      part_textures, atlas)
 
     pid = None
 

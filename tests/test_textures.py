@@ -182,3 +182,37 @@ def test_float_textures_take_exact_f32_atlas():
         col = np.asarray(sample_bilinear(textures8[p].astype(np.float32), uv))
         ref8[mask] = col[mask]
     np.testing.assert_allclose(out8, ref8, atol=1.5 / 255.0)
+
+
+def test_deferred_uv_matches_kernel_uv_channels():
+    """The windowed deferred-UV path (affine reconstruction from the
+    visibility buffer, uv_from_vis) must match carrying UV through the
+    raster kernel to sub-texel accuracy on character-scale triangles."""
+    import dataclasses
+    import jax
+    from simple_mmd_renderer_tpu.app.sample import (sample_character,
+                                                    sample_textures)
+    from simple_mmd_renderer_tpu.config import RenderConfig
+    from simple_mmd_renderer_tpu.core import pose as PO
+    from simple_mmd_renderer_tpu.render.pipeline import render_frame
+    import jax.numpy as jnp
+
+    pm = sample_character(density=0.3)
+    static = M.build_model(pm)
+    b = static.n_bones
+    rot = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
+    pose = PO.pre_physics_posing(
+        static, rot, jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((static.n_morphs,), jnp.float32))
+    pos, nrm = PO.deform(static, pose)
+    textures = sample_textures(sizes=(64, 32))
+    cfg = RenderConfig(width=640, height=416, shadow_map_size=64,
+                       show_skybox=False, raster_mode="tiled",
+                       shadows_enabled=False)
+    img_win = np.asarray(render_frame(static, pos, nrm, cfg,
+                                      part_textures=textures))
+    cfg_full = dataclasses.replace(cfg, albedo_window=False)
+    img_full = np.asarray(render_frame(static, pos, nrm, cfg_full,
+                                       part_textures=textures))
+    diff = np.abs(img_win - img_full)
+    assert (diff > 2.5 / 255.0).mean() < 1e-3, (diff.max(), diff.mean())

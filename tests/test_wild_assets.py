@@ -72,9 +72,9 @@ def test_wild_pmx_parse_invariants(parse):
     ik = m.bones[IK_DEEP]
     assert len(ik.ik_links) == IK_LINKS
     assert ik.ik_loop == 255
-    # duplicated chain: bone 31 reuses bones 15..20
+    # duplicated chain: bone 31 reuses bones 22..27 of bone 30's chain
     ik2 = m.bones[IK_DEEP + 1]
-    assert [l.bone for l in ik2.ik_links] == [20, 19, 18, 17, 16, 15]
+    assert [l.bone for l in ik2.ik_links] == [27, 26, 25, 24, 23, 22]
     shared = {l.bone for l in ik.ik_links} & {l.bone for l in ik2.ik_links}
     assert len(shared) >= 5
 
@@ -106,8 +106,11 @@ def test_wild_pmx_normalize_demotions(parse):
     assert np.isfinite(w).all()
 
 
-def test_wild_pmx_end_to_end_render_and_physics(parse):
-    m = parse(build_wild_pmx())
+def test_wild_pmx_end_to_end_render_and_physics():
+    # single (default-parser) variant: the native/python parse agreement is
+    # covered by the invariant tests; running the jit pipeline twice would
+    # only re-pay ~4 min of CPU compile for identical inputs
+    m = P.parse_pmx(build_wild_pmx())
     static = M.build_model(m)
     ps = PH.build_physics(static)
     assert ps.n_bodies == N_RIGID and ps.n_joints == N_JOINTS

@@ -204,10 +204,10 @@ def build_wild_pmx(seed=0) -> bytes:
     # chain — wild models alias IK chains across limbs)
     links2 = bytearray()
     for li in range(6):
-        links2 += idx("bone", 20 - li) + i8(0)
+        links2 += idx("bone", 27 - li) + i8(0)
     b += bone("足ＩＫ右", "leg_ik_R", (0.5, 2.0, 0.0), None, 1,
               base | P.BONE_HAS_IK,
-              f(0, 1, 0) + idx("bone", 25) + i32(40) + f(0.5)
+              f(0, 1, 0) + idx("bone", 29) + i32(40) + f(0.5)
               + i32(6) + bytes(links2))
     # 32..89: misc bones exercising every optional block
     for i in range(32, N_BONES):
