@@ -124,6 +124,16 @@ def main():
                   Scene(static, ps, mo, cfg_tex720,
                         part_textures=sample_textures()), 30)
 
+        # the reference's COMPLETE operating point: textured parts AND 4x
+        # MSAA at its native 1280x720 window (main.cpp:2093-2146, 2502-2504)
+        cfg_texms = AppConfig()
+        cfg_texms.render = RenderConfig(width=1280, height=720,
+                                        shadow_map_size=shadow,
+                                        show_skybox=False, msaa=4)
+        secondary("textured + msaa=4 at 1280x720 (full reference quality)",
+                  Scene(static, ps, mo, cfg_texms,
+                        part_textures=sample_textures()), 30)
+
         # realistic texture load: 16 material parts, 2048^2-heavy size mix
         # (real PMX models ship 10-30 parts; the 2-part scene under-
         # represents part count and texel budget)

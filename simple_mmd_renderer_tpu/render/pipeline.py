@@ -299,6 +299,13 @@ def _albedo_atlas(static, tri, uv_px, part_textures, atlas=None):
     xm = jnp.mod(x0, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
     ym = jnp.mod(y0, jnp.maximum(th.astype(jnp.int32), 1)) + oy
 
+    return _atlas_bilinear(atlas, xm, ym, fx, fy)
+
+
+def _atlas_bilinear(atlas, xm, ym, fx, fy):
+    """Bilinear filter from the neighborhood-packed atlas: ONE gather per
+    pixel (the texel's 2x2 neighborhood rides its row), then 3 lerps."""
+    atlas_w = atlas.data.shape[1]
     if atlas.eight_bit:
         flat = atlas.data.reshape(-1, 4)
         q = flat[ym * atlas_w + xm]      # [.., 4] u32 = c00 c10 c01 c11
@@ -344,6 +351,53 @@ def affine_uv_rows(uvs, tris):
     return jnp.concatenate([u0, d1, d2, pad], -1)
 
 
+def affine_uv_part_rows(uvs, tris, atlas, static):
+    """[T, 12] texel-space affine UV rows with each triangle's atlas
+    placement baked in: (u0, v0, du1, dv1, du2, dv2, ox, oy, tw, th, 0, 0),
+    all in atlas texels. The triangle->part mapping is STATIC (parts are
+    contiguous triangle ranges, reader/pmx_reader_impl.inl:185-189), so the
+    per-part atlas offset/size tables are gathered once per FRAME at [T]
+    granularity here — not once per PIXEL in the sampler. With more than a
+    handful of parts XLA lowers per-pixel `table[pid]` indexing to real
+    gathers: a 16-part split measured +3.3 ms/frame at 1080p (4 table
+    gathers + a searchsorted per pixel); this folds all of it into the one
+    row gather the deferred-UV path already does (32 -> 48 byte rows)."""
+    import numpy as np
+    g = jnp.asarray(uvs)[tris]                        # [T,3,2]
+    bounds = np.asarray(static.part_base, np.int32)
+    pid = np.clip(np.searchsorted(bounds, np.arange(tris.shape[0]),
+                                  side="right") - 1,
+                  0, atlas.sizes.shape[0] - 1)        # [T] static
+    pid = jnp.asarray(pid)
+    sz_wh = atlas.sizes[pid][:, ::-1]                 # [T,2] f32 (w,h)
+    off_xy = atlas.offsets[pid][:, ::-1].astype(jnp.float32)
+    u0 = g[:, 0] * sz_wh
+    d1 = (g[:, 1] - g[:, 0]) * sz_wh
+    d2 = (g[:, 2] - g[:, 0]) * sz_wh
+    pad = jnp.zeros((tris.shape[0], 2), jnp.float32)
+    return jnp.concatenate([u0, d1, d2, off_xy, sz_wh, pad], -1)
+
+
+def _albedo_rows(atlas, tri, bary, rows):
+    """Deferred-UV atlas sampling from fused rows (affine_uv_part_rows):
+    one 48-byte row gather + one atlas gather per pixel, no per-pixel part
+    tables at all."""
+    r = rows[jnp.maximum(tri, 0)]                     # [.., 12] gather
+    b1 = bary[..., 0]
+    b2 = bary[..., 1]
+    u = r[..., 0] + b1 * r[..., 2] + b2 * r[..., 4] - 0.5
+    v = r[..., 1] + b1 * r[..., 3] + b2 * r[..., 5] - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    tw = jnp.maximum(r[..., 8].astype(jnp.int32), 1)
+    th = jnp.maximum(r[..., 9].astype(jnp.int32), 1)
+    xm = jnp.mod(x0.astype(jnp.int32), tw) + r[..., 6].astype(jnp.int32)
+    ym = jnp.mod(y0.astype(jnp.int32), th) + r[..., 7].astype(jnp.int32)
+    return _atlas_bilinear(atlas, xm, ym, fx, fy)
+
+
 def uv_from_vis(tri, bary, uv_rows):
     """Reconstruct per-pixel UVs from the visibility buffer: one 32-byte row
     gather per pixel instead of riding 2 attribute channels through the
@@ -376,17 +430,27 @@ def character_albedo_windowed(static, tri, uv_px, part_textures,
     there is exact (they are masked by char_mask downstream): the result is
     bit-identical to the full-frame path wherever it is consumed.
 
-    With `bary` + `uv_rows` (affine_uv_rows), per-pixel UVs are
-    reconstructed inside the window (uv_from_vis) and `uv_px` may be None —
-    the raster kernel then carries no UV channels at all."""
+    With `bary` + `uv_rows`, per-pixel UVs are reconstructed inside the
+    window and `uv_px` may be None — the raster kernel then carries no UV
+    channels at all. 12-column rows (affine_uv_part_rows) carry the atlas
+    placement too and sample via _albedo_rows (no per-pixel part tables);
+    8-column rows (affine_uv_rows) reconstruct plain UVs (uv_from_vis)."""
     h, w = tri.shape
+    fused = (uv_rows is not None and atlas is not None
+             and uv_rows.shape[-1] == 12)
+
+    def sample(tri_w, bary_w, uv_w):
+        if fused:
+            return _albedo_rows(atlas, tri_w, bary_w, uv_rows)
+        if uv_rows is not None:
+            uv_w = uv_from_vis(tri_w, bary_w, uv_rows)
+        return character_albedo(static, tri_w, uv_w, part_textures, atlas)
+
     ws = _window_ladder(w, 128)
     hs = _window_ladder(h, 8)
     if h * w < 512 * 512 or (len(ws) == 1 and len(hs) == 1):
         # small frames: the switch costs more than it saves
-        if uv_rows is not None:
-            uv_px = uv_from_vis(tri, bary, uv_rows)
-        return character_albedo(static, tri, uv_px, part_textures, atlas)
+        return sample(tri, bary, uv_px)
 
     cov = tri >= 0
     cov_x = jnp.any(cov, axis=0)
@@ -407,15 +471,13 @@ def character_albedo_windowed(static, tri, uv_px, part_textures,
             ox = jnp.clip(x0, 0, w - w_win)
             oy = jnp.clip(y0, 0, h - h_win)
             tri_w = jax.lax.dynamic_slice(tri, (oy, ox), (h_win, w_win))
-            if uv_rows is not None:
-                b_w = jax.lax.dynamic_slice(
-                    bary, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
-                uv_w = uv_from_vis(tri_w, b_w, uv_rows)
-            else:
-                uv_w = jax.lax.dynamic_slice(
-                    uv_px, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
-            alb = character_albedo(static, tri_w, uv_w, part_textures,
-                                   atlas)
+            b_w = (jax.lax.dynamic_slice(
+                bary, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
+                if uv_rows is not None else None)
+            uv_w = (jax.lax.dynamic_slice(
+                uv_px, (oy, ox, jnp.int32(0)), (h_win, w_win, 2))
+                if uv_rows is None else None)
+            alb = sample(tri_w, b_w, uv_w)
             full = jnp.ones((h, w, 3), jnp.float32)
             return jax.lax.dynamic_update_slice(
                 full, alb, (oy, ox, jnp.int32(0)))
@@ -718,9 +780,13 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         albedo = jnp.ones((height, width, 3), jnp.float32)
     else:
         if defer_uv:
+            atl = atlas if atlas is not None \
+                else build_packed_atlas(part_textures)
+            rows = (affine_uv_part_rows(uvs, tris, atl, static)
+                    if atl is not None else affine_uv_rows(uvs, tris))
             albedo = character_albedo_windowed(
-                static, vis.tri, None, part_textures, atlas,
-                bary=vis.bary, uv_rows=affine_uv_rows(uvs, tris))
+                static, vis.tri, None, part_textures, atl,
+                bary=vis.bary, uv_rows=rows)
         elif cfg.albedo_window:
             albedo = character_albedo_windowed(static, vis.tri, uv_px,
                                                part_textures, atlas)

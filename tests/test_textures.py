@@ -184,9 +184,14 @@ def test_float_textures_take_exact_f32_atlas():
     np.testing.assert_allclose(out8, ref8, atol=1.5 / 255.0)
 
 
-def test_deferred_uv_matches_kernel_uv_channels():
+import pytest
+
+
+@pytest.mark.parametrize("n_parts", [2, 16])
+def test_deferred_uv_matches_kernel_uv_channels(n_parts):
     """The windowed deferred-UV path (affine reconstruction from the
-    visibility buffer, uv_from_vis) must match carrying UV through the
+    visibility buffer; fused part-placement rows when >1 part,
+    affine_uv_part_rows/_albedo_rows) must match carrying UV through the
     raster kernel to sub-texel accuracy on character-scale triangles."""
     import dataclasses
     import jax
@@ -197,7 +202,7 @@ def test_deferred_uv_matches_kernel_uv_channels():
     from simple_mmd_renderer_tpu.render.pipeline import render_frame
     import jax.numpy as jnp
 
-    pm = sample_character(density=0.3)
+    pm = sample_character(density=0.3, n_parts=n_parts)
     static = M.build_model(pm)
     b = static.n_bones
     rot = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
@@ -205,7 +210,8 @@ def test_deferred_uv_matches_kernel_uv_channels():
         static, rot, jnp.zeros((b, 3), jnp.float32),
         jnp.zeros((static.n_morphs,), jnp.float32))
     pos, nrm = PO.deform(static, pose)
-    textures = sample_textures(sizes=(64, 32))
+    sizes = tuple((64, 32, 48, 16)[i % 4] for i in range(n_parts))
+    textures = sample_textures(sizes=sizes)
     cfg = RenderConfig(width=640, height=416, shadow_map_size=64,
                        show_skybox=False, raster_mode="tiled",
                        shadows_enabled=False)
@@ -216,3 +222,38 @@ def test_deferred_uv_matches_kernel_uv_channels():
                                        part_textures=textures))
     diff = np.abs(img_win - img_full)
     assert (diff > 2.5 / 255.0).mean() < 1e-3, (diff.max(), diff.mean())
+
+
+def test_textured_msaa_native_composes_with_deferred_uv():
+    """Textures + native per-sample 4x MSAA (the reference's complete
+    operating quality, main.cpp:2093-2146 + 2502-2504) must compose: the
+    MS kernel's visibility buffer feeds the fused-row albedo path."""
+    import dataclasses
+    from simple_mmd_renderer_tpu.app.sample import (sample_character,
+                                                    sample_textures)
+    from simple_mmd_renderer_tpu.config import RenderConfig
+    from simple_mmd_renderer_tpu.core import pose as PO
+    from simple_mmd_renderer_tpu.render.pipeline import render_frame
+
+    pm = sample_character(density=0.3)
+    static = M.build_model(pm)
+    b = static.n_bones
+    rot = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
+    pose = PO.pre_physics_posing(
+        static, rot, jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((static.n_morphs,), jnp.float32))
+    pos, nrm = PO.deform(static, pose)
+    textures = sample_textures(sizes=(64, 32))
+    cfg = RenderConfig(width=320, height=240, shadow_map_size=64,
+                       show_skybox=False, raster_mode="tiled",
+                       shadows_enabled=False, msaa=4)
+    img_ms = np.asarray(render_frame(static, pos, nrm, cfg,
+                                     part_textures=textures))
+    cfg1 = dataclasses.replace(cfg, msaa=1)
+    img_1 = np.asarray(render_frame(static, pos, nrm, cfg1,
+                                    part_textures=textures))
+    assert np.isfinite(img_ms).all()
+    # antialiasing: close overall, fractional coverage at edges
+    assert np.abs(img_ms - img_1).mean() < 0.05
+    d = np.abs(img_ms - img_1).max(-1)
+    assert (d > 0.02).any(), "MSAA changed no edge pixels"
