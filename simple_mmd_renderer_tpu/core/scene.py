@@ -140,7 +140,8 @@ class Scene:
         return SimState(time=time, physics=physics), pose, positions, normals
 
     def step_and_render(self, state: SimState, width=None, height=None,
-                        camera_override=None, atlas=None):
+                        camera_override=None, atlas=None,
+                        proj_transform=None, aspect=None):
         """One frame. `camera_override` = (eye_m, target_m, fov_deg) traced
         arrays — the live-camera path (the reference's orbit controller,
         main.cpp:2370-2480, reads input every frame); passing them as
@@ -181,7 +182,8 @@ class Scene:
                              cubemap=self.cubemap,
                              width=width, height=height,
                              uv_offsets=uv_off, part_color=part_color,
-                             mmd_maps=self.mmd_maps, atlas=atlas)
+                             mmd_maps=self.mmd_maps, atlas=atlas,
+                             proj_transform=proj_transform, aspect=aspect)
         return state, image
 
     def jit_step(self, render: bool = True, width=None, height=None,

@@ -932,19 +932,40 @@ def _scan_subset(clip, tris, width, height, s):
 # crowd viewport sizes.
 # ---------------------------------------------------------------------------
 
+# max bbox tiles per triangle in the FUSED crowd binning. Covers-all
+# (e_max = n_tiles) was exact with no fallback, but its entry count
+# instances*T*n_tiles OOMs at dense crowds: 64 instances of the bench-density
+# character against a 16-tile shadow grid is 26.2M entries, whose sorted row
+# buffer alone is 12.5 GB — 2x the chip's HBM (r3: crowd-dense bench).
+# bbox expansion bounds entries at instances*T*E; oversized triangles go
+# through the same capped scan fallback as the single-instance path.
+CROWD_E_MAX = 6
+
+
+def _crowd_e_max(width, height) -> int:
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    return min(tiles_x * tiles_y, CROWD_E_MAX)
+
+
 def _bin_multi(s, rows, width, height, chunk):
     """Batched setup dicts (leading instance axis) -> fused bin tables.
 
-    e_max = n_tiles (covers-all): no big-triangle path, exact for any
-    geometry. -> (sorted_rows [I*T*E + pad, 128-aligned W], starts
-    [I*n_tiles], counts [I*n_tiles])."""
+    Expansion is bbox-limited to _crowd_e_max tiles per triangle (triangles
+    spanning more go to the big mask for the scan fallback), and lanes are
+    padded to 128 BEFORE the gather (the kernel DMA needs 128-aligned lane
+    widths) so the sorted table is built directly at its final width — ONE
+    [I*T*E, 128] buffer instead of the narrow-gather + pad pair, whose two
+    copies peaked at 2x HBM on dense crowds. -> (sorted_rows [I*T*E + chunk,
+    128], starts [I*n_tiles], counts [I*n_tiles], big [I, T])."""
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     n_tiles = tiles_x * tiles_y
+    e_max = _crowd_e_max(width, height)
     n_inst, t = rows.shape[0], rows.shape[1]
 
-    tile, _ = jax.vmap(
-        lambda si: _expand_tiles(si, width, height, n_tiles))(s)  # [I,T,E]
+    tile, big = jax.vmap(
+        lambda si: _expand_tiles(si, width, height, e_max))(s)  # [I,T,E]
     inst = jnp.arange(n_inst, dtype=jnp.int32)[:, None, None]
     gtile = jnp.where(tile < n_tiles, inst * n_tiles + tile,
                       n_inst * n_tiles)
@@ -957,10 +978,11 @@ def _bin_multi(s, rows, width, height, chunk):
     counts = (start[1:] - start[:-1]).astype(jnp.int32)
 
     flat_rows = rows.reshape(n_inst * t, rows.shape[2])
-    sorted_rows = flat_rows[sorted_tri]
     lane_pad = (-rows.shape[2]) % 128
-    sorted_rows = jnp.pad(sorted_rows, ((0, chunk), (0, lane_pad)))
-    return sorted_rows, start[:n_inst * n_tiles], counts
+    flat_rows = jnp.pad(flat_rows, ((0, 1), (0, lane_pad)))  # +1 pad row
+    sorted_rows = flat_rows[jnp.pad(sorted_tri, (0, chunk),
+                                    constant_values=n_inst * t)]
+    return sorted_rows, start[:n_inst * n_tiles], counts, big
 
 
 def _run_kernel_multi(sorted_rows, starts, counts, n_inst, width, height,
@@ -1016,14 +1038,70 @@ def _run_kernel_multi(sorted_rows, starts, counts, n_inst, width, height,
     return vis, attr[:, :, :height, :width]
 
 
+def _merge_big_crowd(vis, attr, clip, tris, width, height, s, big, attrs):
+    """Crowd analog of _merge_big: per-instance capped scan raster over
+    oversized triangles, merged by depth. The any-big cond sits OUTSIDE the
+    vmap (under vmap lax.cond batches to a both-branches select, which would
+    pay the full-frame scan every frame). Returns (vis, attr, big_won) with
+    leading instance axes."""
+    def merge(args):
+        vis, attr = args
+        cap = min(BIG_TRI_CAP, tris.shape[0])
+
+        def one(vis_i, attr_i, clip_i, xy, z, a2, v, iw, big_i, attrs_i):
+            order = jnp.argsort(~big_i, stable=True)[:cap]
+            s_big = {"xy": xy[order], "z": z[order], "area2": a2[order],
+                     "valid": (v & big_i)[order], "inv_w": iw[order]}
+            vis_big = _scan_subset(clip_i, tris[order], width, height, s_big)
+            real_tri = jnp.where(vis_big.tri >= 0,
+                                 order[jnp.maximum(vis_big.tri, 0)], -1)
+            better = (vis_big.depth <= vis_i.depth) & (vis_big.tri >= 0)
+            merged = raster.VisBuffer(
+                depth=jnp.where(better, vis_big.depth, vis_i.depth),
+                tri=jnp.where(better, real_tri, vis_i.tri),
+                bary=jnp.where(better[..., None], vis_big.bary, vis_i.bary))
+            big_attr = jnp.moveaxis(
+                raster.interpolate(vis_big, clip_i, tris[order], attrs_i),
+                -1, 0)
+            attr_i = jnp.where(better[None], big_attr, attr_i)
+            return merged, attr_i, better
+
+        return jax.vmap(one)(vis, attr, clip, s["xy"], s["z"], s["area2"],
+                             s["valid"], s["inv_w"], big, attrs)
+
+    zeros = jnp.zeros(vis.depth.shape, bool)
+    return jax.lax.cond(jnp.any(big), merge,
+                        lambda a: (a[0], a[1], zeros), (vis, attr))
+
+
+def _merge_big_depth_crowd(depth, clip, tris, width, height, s, big):
+    """Depth-only crowd big-triangle merge (shadow maps)."""
+    def merge(depth):
+        cap = min(BIG_TRI_CAP, tris.shape[0])
+
+        def one(clip_i, xy, z, a2, v, big_i):
+            order = jnp.argsort(~big_i, stable=True)[:cap]
+            s_big = {"xy": xy[order], "z": z[order], "area2": a2[order],
+                     "valid": (v & big_i)[order]}
+            return _scan_subset(clip_i, tris[order], width, height,
+                                s_big).depth
+
+        d_big = jax.vmap(one)(clip, s["xy"], s["z"], s["area2"], s["valid"],
+                              big)
+        return jnp.minimum(depth, d_big)
+
+    return jax.lax.cond(jnp.any(big), merge, lambda d: d, depth)
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
                                 cull=raster.CULL_BACK, chunk=256):
     """Fused multi-instance raster + attribute interpolation.
 
     clip [I,V,4], tris [T,3] (shared topology), attrs [I,V,A] ->
-    (VisBuffer with leading instance axis, attr [I,H,W,A]). Exact for any
-    geometry (covers-all binning, no big-tri cap); per-pixel/per-entry
+    (VisBuffer with leading instance axis, attr [I,H,W,A]). Binning is
+    bbox-limited (_crowd_e_max); oversized triangles merge through the same
+    capped scan fallback as the single-instance path. Per-pixel/per-entry
     semantics identical to rasterize_attrs_tiled."""
     def per_inst(clip_i, attrs_i):
         g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
@@ -1035,10 +1113,14 @@ def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
     rows = jax.vmap(
         lambda si, ai: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
-    sorted_rows, starts, counts = _bin_multi(s, rows, width, height, chunk)
+    sorted_rows, starts, counts, big = _bin_multi(s, rows, width, height,
+                                                  chunk)
     vis, attr = _run_kernel_multi(sorted_rows, starts, counts,
                                   clip.shape[0], width, height,
                                   attrs.shape[-1], chunk)
+    if not _covers_all(_crowd_e_max(width, height), width, height):
+        vis, attr, _ = _merge_big_crowd(vis, attr, clip, tris, width,
+                                        height, s, big, attrs)
     attr = jnp.moveaxis(attr, 1, -1)
     attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
     return vis, attr
@@ -1104,8 +1186,8 @@ def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
                                      cull=raster.CULL_BACK, chunk=256):
     """Fused multi-instance 4x-MSAA raster: per-pixel center visibility +
     attributes plus per-sample depth [I, 4, H, W], semantics identical to
-    rasterize_attrs_tiled_msaa per instance (covers-all binning — no
-    big-triangle path, exact for any geometry)."""
+    rasterize_attrs_tiled_msaa per instance (bbox binning; big triangles
+    merge with the center-approximated samples, like the single path)."""
     def per_inst(clip_i, attrs_i):
         g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
         s = raster.setup(clip_i, tris, width, height, cull, cv=g[..., :4],
@@ -1117,10 +1199,16 @@ def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
     rows = jax.vmap(
         lambda si, ai: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
-    sorted_rows, starts, counts = _bin_multi(s, rows, width, height, chunk)
+    sorted_rows, starts, counts, big = _bin_multi(s, rows, width, height,
+                                                  chunk)
     vis, attr, sdepth = _run_kernel_ms_multi(
         sorted_rows, starts, counts, clip.shape[0], width, height,
         attrs.shape[-1], chunk)
+    if not _covers_all(_crowd_e_max(width, height), width, height):
+        vis, attr, big_won = _merge_big_crowd(vis, attr, clip, tris, width,
+                                              height, s, big, attrs)
+        sdepth = jnp.where(big_won[:, None],
+                           jnp.minimum(sdepth, vis.depth[:, None]), sdepth)
     attr = jnp.moveaxis(attr, 1, -1)
     attr = jnp.where((vis.tri >= 0)[..., None], attr, 0.0)
     return vis, attr, sdepth
@@ -1171,6 +1259,11 @@ def rasterize_depth_tiled_crowd(clip, tris, width, height,
     rows = jax.vmap(
         lambda si: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32)))(s)
-    sorted_rows, starts, counts = _bin_multi(s, rows, width, height, chunk)
-    return _run_depth_kernel_multi(sorted_rows, starts, counts,
-                                   clip.shape[0], width, height, chunk)
+    sorted_rows, starts, counts, big = _bin_multi(s, rows, width, height,
+                                                  chunk)
+    depth = _run_depth_kernel_multi(sorted_rows, starts, counts,
+                                    clip.shape[0], width, height, chunk)
+    if not _covers_all(_crowd_e_max(width, height), width, height):
+        depth = _merge_big_depth_crowd(depth, clip, tris, width, height, s,
+                                       big)
+    return depth

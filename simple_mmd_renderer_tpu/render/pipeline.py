@@ -29,7 +29,8 @@ from . import raster
 from . import shade
 
 
-def build_matrices(cfg: RenderConfig, model_mat=None, aspect=None):
+def build_matrices(cfg: RenderConfig, model_mat=None, aspect=None,
+                   proj_transform=None):
     if model_mat is None:
         model_mat = jnp.eye(4, dtype=jnp.float32)
     if aspect is None:
@@ -49,6 +50,12 @@ def build_matrices(cfg: RenderConfig, model_mat=None, aspect=None):
         oproj = cam.orthographic(-half_w, half_w, -half_h, half_h,
                                  cfg.near, cfg.far)
         proj = jnp.where(jnp.asarray(ortho), oproj, proj)
+    if proj_transform is not None:
+        # linear clip-space window transform (e.g. a per-device framebuffer
+        # band for tile-parallel rendering, parallel.mesh.frame_jit): applied
+        # to proj so EVERY consumer — raster, ground ray cast, skybox rays,
+        # depth unprojection — sees one consistent camera
+        proj = jnp.asarray(proj_transform, jnp.float32) @ proj
     view = cam.look_at(cfg.camera_pos, cfg.camera_target,
                        jnp.array([0.0, 1.0, 0.0], jnp.float32))
     mvp = proj @ view @ model_mat
@@ -612,12 +619,17 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                  part_textures=None, cubemap=None, model_mat=None,
                  width=None, height=None, uv_offsets=None, part_color=None,
-                 mmd_maps=None, atlas=None):
+                 mmd_maps=None, atlas=None, proj_transform=None,
+                 aspect=None):
     """Full main-pass image, [H,W,3] float32 in [0,1].
 
     positions_mmd/normals: deformed vertices from core.pose.deform (MMD
     units). cfg.msaa >= 4 renders 2x2 supersampled and box-filters down (the
-    reference's 4x MSAA, main.cpp:2504)."""
+    reference's 4x MSAA, main.cpp:2504).
+
+    proj_transform: optional 4x4 clip-space window transform (with `aspect`
+    pinned to the FULL frame's ratio) — used by parallel.mesh.frame_jit to
+    render one horizontal band of the frame per device."""
     width = width or cfg.width
     height = height or cfg.height
     msaa_native = (cfg.msaa >= 4 and not cfg.msaa_supersample
@@ -633,9 +645,12 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                            model_mat=model_mat, width=2 * width,
                            height=2 * height, uv_offsets=uv_offsets,
                            part_color=part_color, mmd_maps=mmd_maps,
-                           atlas=atlas)
+                           atlas=atlas, proj_transform=proj_transform,
+                           aspect=aspect)
         return big.reshape(height, 2, width, 2, 3).mean(axis=(1, 3))
-    mats = build_matrices(cfg, model_mat, aspect=width / height)
+    mats = build_matrices(cfg, model_mat,
+                          aspect=width / height if aspect is None else aspect,
+                          proj_transform=proj_transform)
 
     verts_m = positions_mmd * cfg.mmd_to_meter
     tris = jnp.asarray(static.triangles)[:, ::-1]  # winding flip at upload

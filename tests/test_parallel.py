@@ -165,3 +165,60 @@ def test_crowd_supported_predicate_excludes_unfused_features():
     assert crowd_render_supported(dataclasses.replace(base, msaa=4))
     assert not crowd_render_supported(base, cubemap=object())
     assert not crowd_render_supported(base, camera=object())
+
+
+def test_band_transform_partitions_ndc():
+    """Band clip transforms tile the full NDC y range exactly."""
+    n = 4
+    for b in range(n):
+        B = np.asarray(par.band_transform(n, b))
+        # local ndc y' = -1 (bottom of band) and +1 (top) map back to the
+        # expected slice of the full frame: y = (y' + n-1-2b)/n
+        for yp in (-1.0, 1.0):
+            clip = B @ np.array([0.0, (yp + (n - 1 - 2 * b)) / n, 0.5, 1.0])
+            np.testing.assert_allclose(clip[1], yp, atol=1e-6)
+
+
+def _assert_banded_matches_full(scene, mesh, n_dev, atol_frac=2e-3):
+    # frame_jit runs the exact (non-downsampled) ground shadow lookup —
+    # the lo-res lit-map upsample is band-local and would seam; compare
+    # against the single-device frame in the same exact mode
+    import dataclasses
+    scene.config.render = dataclasses.replace(
+        scene.config.render, shadow_lookup_downsample=1)
+    W, H = scene.config.render.width, scene.config.render.height
+    step_full = scene.jit_step(render=True, donate=False)
+    state_f, full = step_full(scene.init_state())
+    step_band = par.frame_jit(scene, mesh, width=W, height=H)
+    state_b, banded = step_band(scene.init_state())
+    full = np.asarray(full)
+    banded = np.asarray(banded)
+    assert banded.shape == full.shape
+    assert len(banded.sharding.device_set) if hasattr(banded, "sharding") \
+        else True
+    diff = np.abs(banded - full)
+    assert (diff > 0.02).mean() < atol_frac, (diff > 0.02).mean()
+    np.testing.assert_allclose(np.asarray(state_b.time),
+                               np.asarray(state_f.time), atol=1e-6)
+
+
+def test_frame_banded_over_mesh_matches_single_scan():
+    """Tile-parallel rendering (framebuffer rows sharded over 8 devices)
+    reproduces the single-device frame — scan raster."""
+    assert len(jax.devices()) >= 8
+    scene = _tiny_scene(render_size=64)
+    mesh = par.make_mesh(jax.devices()[:8])
+    _assert_banded_matches_full(scene, mesh, 8)
+
+
+def test_frame_banded_over_mesh_matches_single_tiled_textured():
+    """Same, through the PRODUCTION path: tiled Pallas raster (interpreter
+    mode on CPU) + textured atlas + ground shadows, rows over 4 devices."""
+    from simple_mmd_renderer_tpu.app.sample import sample_textures
+    import dataclasses
+    scene = _tiny_scene(render_size=64)
+    scene.config.render = dataclasses.replace(
+        scene.config.render, raster_mode="tiled", width=128, height=64)
+    scene.part_textures = sample_textures(sizes=(32, 16))
+    mesh = par.make_mesh(jax.devices()[:4])
+    _assert_banded_matches_full(scene, mesh, 4)

@@ -349,3 +349,54 @@ def test_tiled_beyond_262k_triangles():
     got = tiled_raster.rasterize_tiled(clip_s, tris, w, h, raster.CULL_NONE)
     assert (np.asarray(ref.tri) >= 0).mean() > 0.1
     _assert_vis_equal(got, ref)
+
+
+def test_crowd_big_triangle_fallback():
+    """Fused crowd binning is bbox-limited (r3: covers-all OOM'd at dense
+    crowds); a screen-filling triangle in ONE instance must still render
+    exactly via the capped per-instance scan fallback — in the attr, msaa,
+    and depth crowd paths."""
+    rng = np.random.default_rng(33)
+    n_inst, w, h = 3, 384, 128  # 3x4 = 12 tiles > CROWD_E_MAX
+    assert tiled_raster._crowd_e_max(w, h) < 12
+    clips, attrs = [], []
+    for k in range(n_inst):
+        c, tris = _random_mesh(rng, t=40)
+        c = np.array(c)
+        if k == 1:  # instance 1 gets a screen-filling triangle (tri 0)
+            c[0] = [-2.0, -2.0, 0.05, 1.0]
+            c[1] = [4.0, -2.0, 0.05, 1.0]
+            c[2] = [-2.0, 4.0, 0.05, 1.0]
+        clips.append(c)
+        attrs.append(rng.uniform(0, 1, (c.shape[0], 3)).astype(np.float32))
+    clip_b = jnp.asarray(np.stack(clips))
+    attr_b = jnp.asarray(np.stack(attrs))
+
+    vis, attr = tiled_raster.rasterize_attrs_tiled_crowd(
+        clip_b, tris, attr_b, w, h, raster.CULL_NONE)
+    # the giant triangle wins everywhere it is closest; specifically the
+    # whole frame of instance 1 is covered
+    assert (np.asarray(vis.tri[1]) >= 0).all()
+    for i in range(n_inst):
+        ref_vis, ref_attr = tiled_raster.rasterize_attrs_tiled(
+            clip_b[i], tris, attr_b[i], w, h, raster.CULL_NONE, 12, 64)
+        np.testing.assert_allclose(np.asarray(vis.depth[i]),
+                                   np.asarray(ref_vis.depth), atol=2e-5)
+        assert (np.asarray(vis.tri[i]) != np.asarray(ref_vis.tri)).mean() \
+            < 1e-3
+
+    depth = tiled_raster.rasterize_depth_tiled_crowd(
+        clip_b, tris, w, h, raster.CULL_NONE)
+    for i in range(n_inst):
+        ref = tiled_raster.rasterize_depth_tiled(
+            clip_b[i], tris, w, h, raster.CULL_NONE, 12, 64)
+        np.testing.assert_allclose(np.asarray(depth[i]), np.asarray(ref),
+                                   atol=2e-5)
+
+    vis_m, attr_m, sdepth = tiled_raster.rasterize_attrs_tiled_msaa_crowd(
+        clip_b, tris, attr_b, w, h, raster.CULL_NONE)
+    ref_vis, ref_attr, ref_sd = tiled_raster.rasterize_attrs_tiled_msaa(
+        clip_b[1], tris, attr_b[1], w, h, raster.CULL_NONE, 12, 64)
+    np.testing.assert_allclose(np.asarray(vis_m.depth[1]),
+                               np.asarray(ref_vis.depth), atol=2e-5)
+    assert (np.asarray(sdepth[1]) < 1.0).all()  # all samples hit
