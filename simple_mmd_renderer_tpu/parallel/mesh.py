@@ -19,6 +19,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.scene import Scene, SimState
 
 
+def _shard_map(fn, *, mesh, in_specs, out_specs):
+    """jax.shard_map across API generations: 0.9 renamed check_rep ->
+    check_vma (both off here — the fused raster's pallas calls have no
+    varying-manual-axes rule)."""
+    import inspect
+    try:
+        from jax import shard_map          # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    kw = ("check_vma" if "check_vma"
+          in inspect.signature(shard_map).parameters else "check_rep")
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **{kw: False})
+
+
 def make_mesh(devices=None, axis: str = "data") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     import numpy as np
@@ -123,7 +138,6 @@ def frame_jit(scene: Scene, mesh: Mesh, width=None, height=None,
     band edges."""
     import dataclasses
 
-    from jax.experimental.shard_map import shard_map
     n = int(mesh.devices.size)
     W = width or scene.config.render.width
     H = height or scene.config.render.height
@@ -140,8 +154,8 @@ def frame_jit(scene: Scene, mesh: Mesh, width=None, height=None,
             proj_transform=band, aspect=W / H)
         return state, image
 
-    sharded = shard_map(fn, mesh=mesh, in_specs=(P(),),
-                        out_specs=(P(), P(axis)), check_rep=False)
+    sharded = _shard_map(fn, mesh=mesh, in_specs=(P(),),
+                         out_specs=(P(), P(axis)))
     return jax.jit(sharded)
 
 
@@ -152,8 +166,7 @@ def crowd_jit(scene: Scene, mesh: Mesh, render: bool = True, width=None,
     global sort and kernel launch — runs on its device-local instance
     shard, so XLA inserts no collectives on the hot path (the instance
     batch is embarrassingly parallel; ICI carries nothing per frame)."""
-    from jax.experimental.shard_map import shard_map
     fn = crowd_step_fn(scene, render=render, width=width, height=height)
-    sharded = shard_map(fn, mesh=mesh, in_specs=(P(axis),),
-                        out_specs=P(axis), check_rep=False)
+    sharded = _shard_map(fn, mesh=mesh, in_specs=(P(axis),),
+                         out_specs=P(axis))
     return jax.jit(sharded)
