@@ -141,10 +141,20 @@ def main():
         static16 = model_mod.build_model(pm16)
         mo16 = anim_mod.bind_motion(static16, sample_motion(240, fps_keys=5))
         ps16 = phys_mod.build_physics(static16)
+        tex16 = sample_textures(realistic_texture_sizes(16))
         secondary("textured (16 parts, 2048^2-heavy mix) at 1920x1080",
                   Scene(static16, ps16, mo16, cfg_tex,
-                        part_textures=sample_textures(
-                            realistic_texture_sizes(16))), 30)
+                        part_textures=tex16), 30)
+
+        # same load with per-triangle mip selection (texture_mips=6,
+        # PARITY.md D7): minified 2048^2 parts gather from a 4^level-
+        # smaller atlas region — filtered AND DRAM-local
+        import dataclasses
+        cfg_mip = AppConfig()
+        cfg_mip.render = dataclasses.replace(cfg_tex.render, texture_mips=6)
+        secondary("textured (16 parts, realistic mix, mips) at 1920x1080",
+                  Scene(static16, ps16, mo16, cfg_mip,
+                        part_textures=tex16), 30)
 
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu

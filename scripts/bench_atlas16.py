@@ -48,26 +48,30 @@ def main():
         positions, normals = pose_mod.deform(static, pose)
         return static, positions, normals
 
-    def run(label, static, positions, normals, textures):
-        atlas = build_packed_atlas(textures) if textures else None
+    def run(label, static, positions, normals, textures, mips=0):
+        atlas = build_packed_atlas(textures, mip_levels=mips) \
+            if textures else None
         if atlas is not None:
             d = atlas.data
             print(f"  atlas {d.shape} {d.dtype} ~ "
                   f"{d.size * d.dtype.itemsize / 1e6:.0f} MB", flush=True)
         cfg = RenderConfig(width=w, height=h,
                            shadow_map_size=2048 if on_tpu else 128,
-                           show_skybox=False)
+                           show_skybox=False, texture_mips=mips)
 
-        def body(c, i):
+        def body(atl, c, i):
             img = render_frame(static, positions + 0.001 * i, normals, cfg,
-                               part_textures=textures, atlas=atlas)
+                               part_textures=textures, atlas=atl)
             return c + jnp.mean(img), None
 
-        roll = jax.jit(lambda: jax.lax.scan(
-            body, jnp.float32(0.0), jnp.arange(n, dtype=jnp.float32))[0])
-        float(roll())
+        # the atlas rides as a jit ARGUMENT (like Scene.jit_rollout): baked
+        # as a constant a 294 MB atlas blows the remote-compile request
+        roll = jax.jit(lambda atl: jax.lax.scan(
+            lambda c, i: body(atl, c, i), jnp.float32(0.0),
+            jnp.arange(n, dtype=jnp.float32))[0])
+        float(roll(atlas))
         t0 = time.time()
-        float(roll())
+        float(roll(atlas))
         ms = (time.time() - t0) / n * 1000.0
         print(f"{label:46s} {ms:7.2f} ms/frame", flush=True)
         return ms
@@ -78,12 +82,15 @@ def main():
     base = run("16-part untextured", st16, p16, n16, None)
     big = run("16-part realistic 2048-heavy mix", st16, p16, n16,
               sample_textures(realistic_texture_sizes(16)))
+    mip = run("16-part realistic mix + texture_mips=6", st16, p16, n16,
+              sample_textures(realistic_texture_sizes(16)), mips=6)
     small = run("16-part all-256^2", st16, p16, n16,
                 sample_textures((256,) * 16))
     two = run("2-part 1024/256 (reference point)", st2, p2, n2,
               sample_textures())
     print(f"-> per-part overhead (small16 - 2part): {small - two:.2f} ms; "
           f"atlas-size cost (big16 - small16): {big - small:.2f} ms; "
+          f"mips recover: {big - mip:.2f} ms; "
           f"texture cost over untextured: {big - base:.2f} ms", flush=True)
 
 

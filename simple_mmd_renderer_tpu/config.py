@@ -60,6 +60,14 @@ class RenderConfig:
     # (render.pipeline.character_albedo_windowed); False forces full-frame
     # sampling (perf comparison / debugging)
     albedo_window: bool = True
+    # mip levels (incl. level 0) built into the packed texture atlas, with
+    # per-TRIANGLE level selection baked into the deferred-UV rows
+    # (render.pipeline.affine_uv_part_rows). 0/1 = off: bilinear from the
+    # full-resolution texture, exactly the reference's sampler
+    # (main.cpp:538 num_mipmaps=1, :1362 linear min/mag). >1 diverges from
+    # the reference where textures minify — filtered instead of aliased —
+    # and keeps gather addresses DRAM-local on large atlases (PARITY.md).
+    texture_mips: int = 0
     # ground shadow factor is sampled at 1/N resolution and bilinearly
     # upsampled (the 3x3 PCF is already a blur at that scale); 1 = exact
     # per-pixel lookup. TPU random gathers cost ~12us/kpx, so this is the

@@ -59,11 +59,15 @@ class Scene:
         them bloats every lowering."""
         if self.part_textures is None:
             return None
-        if getattr(self, "_atlas_src", None) is not self.part_textures:
+        mips = int(self.config.render.texture_mips)
+        src = getattr(self, "_atlas_src", None)
+        if src is None or src[0] is not self.part_textures or src[1] != mips:
             from ..render.pipeline import build_packed_atlas
             object.__setattr__(self, "_atlas",
-                               build_packed_atlas(self.part_textures))
-            object.__setattr__(self, "_atlas_src", self.part_textures)
+                               build_packed_atlas(self.part_textures,
+                                                  mip_levels=mips))
+            object.__setattr__(self, "_atlas_src",
+                               (self.part_textures, mips))
         return self._atlas
 
     def init_state(self) -> SimState:

@@ -239,16 +239,60 @@ class PackedAtlas:
     offsets: jnp.ndarray      # [P,2] i32 (y,x) atlas placement
     sizes: jnp.ndarray        # [P,2] f32 (h,w) per part
     eight_bit: bool = struct.field(pytree_node=False, default=True)
+    # mip chain (RenderConfig.texture_mips > 1): every level of every part
+    # is shelf-packed into the SAME atlas; these tables address them
+    mip_offsets: jnp.ndarray | None = None   # [P,L,2] i32 (y,x)
+    mip_sizes: jnp.ndarray | None = None     # [P,L,2] f32 (h,w)
+    n_mips: int = struct.field(pytree_node=False, default=0)
 
 
-def build_packed_atlas(part_textures) -> "PackedAtlas | None":
+def _downsample2(t):
+    """One mip step: 2x2 box filter (odd trailing row/col dropped), never
+    below 1 texel per axis."""
+    import numpy as np
+    h, w = t.shape[:2]
+    if h > 1:
+        t = 0.5 * (t[0:2 * (h // 2):2] + t[1:2 * (h // 2):2])
+    if w > 1:
+        t = 0.5 * (t[:, 0:2 * (w // 2):2] + t[:, 1:2 * (w // 2):2])
+    return t
+
+
+def build_packed_atlas(part_textures, mip_levels: int = 0) \
+        -> "PackedAtlas | None":
     """Host-side packing -> PackedAtlas (None when every part is a flat
-    1x1 color, which keeps the gather-free broadcast path)."""
+    1x1 color, which keeps the gather-free broadcast path).
+
+    mip_levels > 1 packs a box-filtered mip chain of every part into the
+    same shelf atlas (+~33% texels) for per-triangle level selection in
+    affine_uv_part_rows; 8-bit sources keep their levels quantized to the
+    8-bit grid so the u32 bit-packing stays exact."""
     import numpy as np
     if part_textures is None or not any(
             t.shape[0] > 1 or t.shape[1] > 1 for t in part_textures):
         return None
-    atlas, offsets, sizes = _pack_atlas(part_textures)
+    pn = len(part_textures)
+    entries = [np.asarray(t, np.float32) for t in part_textures]
+    src8 = all(
+        np.abs(e * 255.0 - np.round(e * 255.0)).max() < 1e-3
+        for e in entries)
+    mip_index = None
+    if mip_levels and int(mip_levels) > 1:
+        L = int(mip_levels)
+        mip_index = np.zeros((pn, L), np.int64)
+        for p in range(pn):
+            mip_index[p, 0] = p
+            cur = entries[p]
+            for lv in range(1, L):
+                if cur.shape[0] > 1 or cur.shape[1] > 1:
+                    cur = _downsample2(cur)
+                    if src8:
+                        cur = np.round(cur * 255.0) / 255.0
+                    entries.append(cur)
+                    mip_index[p, lv] = len(entries) - 1
+                else:
+                    mip_index[p, lv] = mip_index[p, lv - 1]
+    atlas, offsets, sizes = _pack_atlas(entries)
     scaled = atlas * 255.0
     eight_bit = bool(np.abs(scaled - np.round(scaled)).max() < 1e-3)
     if eight_bit:
@@ -257,10 +301,17 @@ def build_packed_atlas(part_textures) -> "PackedAtlas | None":
                 | (q8[..., 2::3] << 16))             # [H,W,4] u32
     else:
         data = atlas                                  # [H,W,12] f32
+    mo = ms = None
+    if mip_index is not None:
+        mo = jnp.asarray(offsets[mip_index].astype(np.int32))   # [P,L,2]
+        ms = jnp.asarray(sizes[mip_index])                      # [P,L,2]
     return PackedAtlas(data=jnp.asarray(data),
-                       offsets=jnp.asarray(offsets.astype(np.int32)),
-                       sizes=jnp.asarray(sizes),
-                       eight_bit=eight_bit)
+                       offsets=jnp.asarray(offsets[:pn].astype(np.int32)),
+                       sizes=jnp.asarray(sizes[:pn]),
+                       eight_bit=eight_bit,
+                       mip_offsets=mo, mip_sizes=ms,
+                       n_mips=int(mip_levels) if mip_index is not None
+                       else 0)
 
 
 def _albedo_atlas(static, tri, uv_px, part_textures, atlas=None):
@@ -285,6 +336,7 @@ def _albedo_atlas(static, tri, uv_px, part_textures, atlas=None):
 
     # part id per pixel: first part whose range contains the triangle id
     bounds = np.asarray(static.part_base, np.int32)
+    cov = tri >= 0
     tri = jnp.maximum(tri, 0)
     pid = jnp.clip(jnp.searchsorted(jnp.asarray(bounds), tri, side="right")
                    - 1, 0, pn - 1)
@@ -305,6 +357,10 @@ def _albedo_atlas(static, tri, uv_px, part_textures, atlas=None):
     # repeat wrap within the part's own extent, then shift into the atlas
     xm = jnp.mod(x0, jnp.maximum(tw.astype(jnp.int32), 1)) + ox
     ym = jnp.mod(y0, jnp.maximum(th.astype(jnp.int32), 1)) + oy
+    # uncovered pixels are masked downstream: pin their gather address
+    # (keeps the DRAM page footprint proportional to covered pixels)
+    xm = jnp.where(cov, xm, 0)
+    ym = jnp.where(cov, ym, 0)
 
     return _atlas_bilinear(atlas, xm, ym, fx, fy)
 
@@ -358,7 +414,7 @@ def affine_uv_rows(uvs, tris):
     return jnp.concatenate([u0, d1, d2, pad], -1)
 
 
-def affine_uv_part_rows(uvs, tris, atlas, static):
+def affine_uv_part_rows(uvs, tris, atlas, static, screen_xy=None):
     """[T, 12] texel-space affine UV rows with each triangle's atlas
     placement baked in: (u0, v0, du1, dv1, du2, dv2, ox, oy, tw, th, 0, 0),
     all in atlas texels. The triangle->part mapping is STATIC (parts are
@@ -368,7 +424,16 @@ def affine_uv_part_rows(uvs, tris, atlas, static):
     handful of parts XLA lowers per-pixel `table[pid]` indexing to real
     gathers: a 16-part split measured +3.3 ms/frame at 1080p (4 table
     gathers + a searchsorted per pixel); this folds all of it into the one
-    row gather the deferred-UV path already does (32 -> 48 byte rows)."""
+    row gather the deferred-UV path already does (32 -> 48 byte rows).
+
+    With `screen_xy` ([V,2] pixel positions) and a mip-chain atlas
+    (n_mips > 1), each triangle's mip LEVEL is selected here too — from the
+    ratio of its UV-space to screen-space area (the isotropic sqrt(texels
+    per pixel) estimate every GPU uses) — and the row's offset/size/UV
+    scale address that level's region of the atlas. The per-pixel sampler
+    is untouched: same row format, same single gather, but minified parts'
+    gathers land in a 4^level-smaller region (DRAM page locality), and
+    minification is box-filtered instead of aliased."""
     import numpy as np
     g = jnp.asarray(uvs)[tris]                        # [T,3,2]
     bounds = np.asarray(static.part_base, np.int32)
@@ -376,11 +441,34 @@ def affine_uv_part_rows(uvs, tris, atlas, static):
                                   side="right") - 1,
                   0, atlas.sizes.shape[0] - 1)        # [T] static
     pid = jnp.asarray(pid)
-    sz_wh = atlas.sizes[pid][:, ::-1]                 # [T,2] f32 (w,h)
-    off_xy = atlas.offsets[pid][:, ::-1].astype(jnp.float32)
+    d1u = g[:, 1] - g[:, 0]
+    d2u = g[:, 2] - g[:, 0]
+    if atlas.n_mips > 1 and screen_xy is not None:
+        L = atlas.n_mips
+        sz0 = atlas.sizes[pid][:, ::-1]               # [T,2] (w,h) level 0
+        s = screen_xy[tris]                           # [T,3,2] px
+        e1 = s[:, 1] - s[:, 0]
+        e2 = s[:, 2] - s[:, 0]
+        area_px = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        d1t = d1u * sz0
+        d2t = d2u * sz0
+        area_tx = jnp.abs(d1t[:, 0] * d2t[:, 1] - d1t[:, 1] * d2t[:, 0])
+        # texels-per-pixel^2; level = floor(log2 sqrt(.)) = floor(.5 log2)
+        rho2 = area_tx / jnp.maximum(area_px, 1e-12)
+        lvl = jnp.clip(jnp.floor(0.5 * jnp.log2(jnp.maximum(rho2, 1e-20))),
+                       0, L - 1).astype(jnp.int32)
+        # degenerate screen triangles (<= a pixel) take the smallest level
+        lvl = jnp.where(area_px < 1e-9, L - 1, lvl)
+        idx = pid * L + lvl                           # [T] traced
+        off_xy = atlas.mip_offsets.reshape(-1, 2)[idx][:, ::-1] \
+            .astype(jnp.float32)
+        sz_wh = atlas.mip_sizes.reshape(-1, 2)[idx][:, ::-1]
+    else:
+        sz_wh = atlas.sizes[pid][:, ::-1]             # [T,2] f32 (w,h)
+        off_xy = atlas.offsets[pid][:, ::-1].astype(jnp.float32)
     u0 = g[:, 0] * sz_wh
-    d1 = (g[:, 1] - g[:, 0]) * sz_wh
-    d2 = (g[:, 2] - g[:, 0]) * sz_wh
+    d1 = d1u * sz_wh
+    d2 = d2u * sz_wh
     pad = jnp.zeros((tris.shape[0], 2), jnp.float32)
     return jnp.concatenate([u0, d1, d2, off_xy, sz_wh, pad], -1)
 
@@ -388,7 +476,12 @@ def affine_uv_part_rows(uvs, tris, atlas, static):
 def _albedo_rows(atlas, tri, bary, rows):
     """Deferred-UV atlas sampling from fused rows (affine_uv_part_rows):
     one 48-byte row gather + one atlas gather per pixel, no per-pixel part
-    tables at all."""
+    tables at all. Pixels with no character coverage (tri < 0 — roughly
+    half of a bbox window) are masked downstream, so their gather address
+    is pinned to texel 0: a uniform address per idle lane instead of a
+    scattered one keeps the gather's DRAM page footprint proportional to
+    COVERED pixels."""
+    cov = tri >= 0
     r = rows[jnp.maximum(tri, 0)]                     # [.., 12] gather
     b1 = bary[..., 0]
     b2 = bary[..., 1]
@@ -402,6 +495,8 @@ def _albedo_rows(atlas, tri, bary, rows):
     th = jnp.maximum(r[..., 9].astype(jnp.int32), 1)
     xm = jnp.mod(x0.astype(jnp.int32), tw) + r[..., 6].astype(jnp.int32)
     ym = jnp.mod(y0.astype(jnp.int32), th) + r[..., 7].astype(jnp.int32)
+    xm = jnp.where(cov, xm, 0)
+    ym = jnp.where(cov, ym, 0)
     return _atlas_bilinear(atlas, xm, ym, fx, fy)
 
 
@@ -796,8 +891,13 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     else:
         if defer_uv:
             atl = atlas if atlas is not None \
-                else build_packed_atlas(part_textures)
-            rows = (affine_uv_part_rows(uvs, tris, atl, static)
+                else build_packed_atlas(part_textures,
+                                        mip_levels=cfg.texture_mips)
+            screen = None
+            if atl is not None and atl.n_mips > 1 and cfg.texture_mips > 1:
+                screen, _, _ = raster.screen_from_clip(clip, width, height)
+            rows = (affine_uv_part_rows(uvs, tris, atl, static,
+                                        screen_xy=screen)
                     if atl is not None else affine_uv_rows(uvs, tris))
             albedo = character_albedo_windowed(
                 static, vis.tri, None, part_textures, atl,
