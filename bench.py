@@ -146,16 +146,6 @@ def main():
                   Scene(static16, ps16, mo16, cfg_tex,
                         part_textures=tex16), 30)
 
-        # same load with per-triangle mip selection (texture_mips=6,
-        # PARITY.md D7): minified 2048^2 parts gather from a 4^level-
-        # smaller atlas region — filtered AND DRAM-local
-        import dataclasses
-        cfg_mip = AppConfig()
-        cfg_mip.render = dataclasses.replace(cfg_tex.render, texture_mips=6)
-        secondary("textured (16 parts, realistic mix, mips) at 1920x1080",
-                  Scene(static16, ps16, mo16, cfg_mip,
-                        part_textures=tex16), 30)
-
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu
         else "fps_full_step_render_cpu_smoke",

@@ -48,7 +48,8 @@ def main():
         positions, normals = pose_mod.deform(static, pose)
         return static, positions, normals
 
-    def run(label, static, positions, normals, textures, mips=0):
+    def run(label, static, positions, normals, textures, mips=0,
+            resident=False):
         atlas = build_packed_atlas(textures, mip_levels=mips) \
             if textures else None
         if atlas is not None:
@@ -57,7 +58,8 @@ def main():
                   f"{d.size * d.dtype.itemsize / 1e6:.0f} MB", flush=True)
         cfg = RenderConfig(width=w, height=h,
                            shadow_map_size=2048 if on_tpu else 128,
-                           show_skybox=False, texture_mips=mips)
+                           show_skybox=False, texture_mips=mips,
+                           texture_resident=resident)
 
         def body(atl, c, i):
             img = render_frame(static, positions + 0.001 * i, normals, cfg,
@@ -84,6 +86,11 @@ def main():
               sample_textures(realistic_texture_sizes(16)))
     mip = run("16-part realistic mix + texture_mips=6", st16, p16, n16,
               sample_textures(realistic_texture_sizes(16)), mips=6)
+    res = run("16-part realistic mix + resident mini-atlas", st16, p16, n16,
+              sample_textures(realistic_texture_sizes(16)), mips=6,
+              resident=True)
+    res2 = run("2-part 1024/256 + resident mini-atlas", st2, p2, n2,
+               sample_textures(), mips=6, resident=True)
     small = run("16-part all-256^2", st16, p16, n16,
                 sample_textures((256,) * 16))
     two = run("2-part 1024/256 (reference point)", st2, p2, n2,

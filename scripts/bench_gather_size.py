@@ -66,7 +66,7 @@ def main():
         print(f"{label:52s} {mb:7.0f} MB  {ms:7.2f} ms", flush=True)
         return ms
 
-    for h in (256, 1024, 2048, 4096, 8960):
+    for h in (128, 256, 384, 512, 640, 768, 1024, 2048, 4096, 8960):
         run(f"1 gather x u32x4 rows, table h={h}", h, 1, 4)
     # bilinear via 4 independent gathers from a 4x smaller (unpacked) table
     run("4 gathers x u32x1 rows (unpacked bilinear)", 8960, 4, 1)

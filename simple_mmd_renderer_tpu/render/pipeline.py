@@ -244,6 +244,10 @@ class PackedAtlas:
     mip_offsets: jnp.ndarray | None = None   # [P,L,2] i32 (y,x)
     mip_sizes: jnp.ndarray | None = None     # [P,L,2] f32 (h,w)
     n_mips: int = struct.field(pytree_node=False, default=0)
+    # static (hashable) copy of the mip tables — (oy, ox, h, w) per
+    # (part, level) — so resident-slot slice starts and fit levels are
+    # compile-time data (build_resident_atlas)
+    mip_meta: tuple = struct.field(pytree_node=False, default=())
 
 
 def _downsample2(t):
@@ -302,16 +306,23 @@ def build_packed_atlas(part_textures, mip_levels: int = 0) \
     else:
         data = atlas                                  # [H,W,12] f32
     mo = ms = None
+    meta = ()
     if mip_index is not None:
         mo = jnp.asarray(offsets[mip_index].astype(np.int32))   # [P,L,2]
         ms = jnp.asarray(sizes[mip_index])                      # [P,L,2]
+        oi = offsets[mip_index].astype(np.int64)                # [P,L,2]
+        si = sizes[mip_index].astype(np.int64)
+        meta = tuple(tuple((int(oi[p, l, 0]), int(oi[p, l, 1]),
+                            int(si[p, l, 0]), int(si[p, l, 1]))
+                           for l in range(oi.shape[1]))
+                     for p in range(pn))
     return PackedAtlas(data=jnp.asarray(data),
                        offsets=jnp.asarray(offsets[:pn].astype(np.int32)),
                        sizes=jnp.asarray(sizes[:pn]),
                        eight_bit=eight_bit,
                        mip_offsets=mo, mip_sizes=ms,
                        n_mips=int(mip_levels) if mip_index is not None
-                       else 0)
+                       else 0, mip_meta=meta)
 
 
 def _albedo_atlas(static, tri, uv_px, part_textures, atlas=None):
@@ -388,6 +399,61 @@ def _atlas_bilinear(atlas, xm, ym, fx, fy):
     return top * (1 - fy) + bot * fy
 
 
+def resident_slot_size(n_parts, budget_bytes=6 << 20):
+    """Slot edge (multiple of 128) so the whole resident mini-atlas stays
+    under the measured TPU gather-table cliff: tables <= ~8 MB gather ~2x
+    faster than ANY larger table (13 MB..294 MB all cost the same,
+    scripts/bench_gather_size.py). 16 B/texel (u32x4 rows)."""
+    import math
+    s = int(math.sqrt(budget_bytes / (16.0 * max(n_parts, 1)))) // 128 * 128
+    return max(min(s, 512), 128)
+
+
+def build_resident_atlas(atlas, need_level, slot):
+    """Per-frame resident mip atlas: copy, for each part, ONE level — the
+    most detailed level any of its triangles needs this frame
+    (`need_level` [P] i32, from _tri_mip_levels + segment_min), clamped to
+    the first level that fits a slot x slot window — out of the big mip
+    atlas into a fixed [P*slot, slot, lanes] mini table. The albedo
+    gather then reads a table small enough to sit under the gather-table
+    cliff (resident_slot_size). The copies are P static-size
+    dynamic_slices (~P*slot^2*16 B over HBM, tens of us).
+
+    Clamped slice starts keep the window in-bounds without padding the
+    big atlas; the residual (start - clamped) rides into the per-part
+    offsets so addressing stays exact.
+
+    Returns (mini PackedAtlas, off_xy [P,2] f32 (x,y) part origins inside
+    the mini table, sz_hw [P,2] f32 resident level sizes)."""
+    import numpy as np
+    P = len(atlas.mip_meta)
+    L = atlas.n_mips
+    data = atlas.data
+    hd, wd, lanes = data.shape
+    slot = min(int(slot), hd, wd)   # small atlases: window within bounds
+    metas = np.asarray(atlas.mip_meta, np.int64)      # [P,L,4] oy,ox,h,w
+    fit = np.array([next(lv for lv in range(L)
+                         if metas[p, lv, 2] <= slot
+                         and metas[p, lv, 3] <= slot)
+                    for p in range(P)], np.int32)
+    slices, offs, szs = [], [], []
+    for p in range(P):
+        rl = jnp.clip(jnp.maximum(need_level[p], fit[p]), 0, L - 1)
+        m = jnp.asarray(metas[p].astype(np.int32))    # [L,4] tiny constant
+        oy, ox, hh, ww = m[rl, 0], m[rl, 1], m[rl, 2], m[rl, 3]
+        cy = jnp.clip(oy, 0, hd - slot)
+        cx = jnp.clip(ox, 0, wd - slot)
+        slices.append(jax.lax.dynamic_slice(
+            data, (cy, cx, jnp.int32(0)), (slot, slot, lanes)))
+        offs.append(jnp.stack([ox - cx, p * slot + (oy - cy)]))   # (x, y)
+        szs.append(jnp.stack([hh, ww]))
+    mini = jnp.concatenate(slices, axis=0)            # [P*slot, slot, ln]
+    mini_atlas = PackedAtlas(data=mini, offsets=atlas.offsets,
+                             sizes=atlas.sizes, eight_bit=atlas.eight_bit)
+    return (mini_atlas, jnp.stack(offs).astype(jnp.float32),
+            jnp.stack(szs).astype(jnp.float32))
+
+
 def _window_ladder(full, unit, fracs=(0.15, 0.27, 0.40, 0.55, 0.75)):
     """Static ladder of window sizes (multiples of `unit`, ending at full).
     All sizes live in ONE program (lax.switch branches), so a finer ladder
@@ -414,7 +480,35 @@ def affine_uv_rows(uvs, tris):
     return jnp.concatenate([u0, d1, d2, pad], -1)
 
 
-def affine_uv_part_rows(uvs, tris, atlas, static, screen_xy=None):
+def _tri_mip_levels(g, sz0, screen_xy, tris, L):
+    """Per-triangle mip level [T] from the UV-area / screen-area ratio
+    (isotropic sqrt(texels-per-pixel)): g [T,3,2] UVs, sz0 [T,2] level-0
+    (w,h) texels, screen_xy [V,2] pixel positions."""
+    d1t = (g[:, 1] - g[:, 0]) * sz0
+    d2t = (g[:, 2] - g[:, 0]) * sz0
+    s = screen_xy[tris]                               # [T,3,2] px
+    e1 = s[:, 1] - s[:, 0]
+    e2 = s[:, 2] - s[:, 0]
+    area_px = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    area_tx = jnp.abs(d1t[:, 0] * d2t[:, 1] - d1t[:, 1] * d2t[:, 0])
+    rho2 = area_tx / jnp.maximum(area_px, 1e-12)
+    lvl = jnp.clip(jnp.floor(0.5 * jnp.log2(jnp.maximum(rho2, 1e-20))),
+                   0, L - 1).astype(jnp.int32)
+    # degenerate screen triangles (<= a pixel) take the smallest level
+    return jnp.where(area_px < 1e-9, L - 1, lvl)
+
+
+def _static_pid(tris_n, static, pn):
+    """[T] part id per triangle — STATIC (parts are contiguous triangle
+    ranges, reader/pmx_reader_impl.inl:185-189)."""
+    import numpy as np
+    bounds = np.asarray(static.part_base, np.int32)
+    return np.clip(np.searchsorted(bounds, np.arange(tris_n),
+                                   side="right") - 1, 0, pn - 1)
+
+
+def affine_uv_part_rows(uvs, tris, atlas, static, screen_xy=None,
+                        resident=None):
     """[T, 12] texel-space affine UV rows with each triangle's atlas
     placement baked in: (u0, v0, du1, dv1, du2, dv2, ox, oy, tw, th, 0, 0),
     all in atlas texels. The triangle->part mapping is STATIC (parts are
@@ -433,32 +527,24 @@ def affine_uv_part_rows(uvs, tris, atlas, static, screen_xy=None):
     scale address that level's region of the atlas. The per-pixel sampler
     is untouched: same row format, same single gather, but minified parts'
     gathers land in a 4^level-smaller region (DRAM page locality), and
-    minification is box-filtered instead of aliased."""
-    import numpy as np
+    minification is box-filtered instead of aliased.
+
+    With `resident` = (off_xy [P,2] f32 (x,y), sz_hw [P,2] f32) from
+    build_resident_atlas, rows instead address each part's slot in the
+    per-frame resident mini-atlas (one level per part)."""
     g = jnp.asarray(uvs)[tris]                        # [T,3,2]
-    bounds = np.asarray(static.part_base, np.int32)
-    pid = np.clip(np.searchsorted(bounds, np.arange(tris.shape[0]),
-                                  side="right") - 1,
-                  0, atlas.sizes.shape[0] - 1)        # [T] static
-    pid = jnp.asarray(pid)
+    pid_np = _static_pid(tris.shape[0], static, atlas.sizes.shape[0])
+    pid = jnp.asarray(pid_np)
     d1u = g[:, 1] - g[:, 0]
     d2u = g[:, 2] - g[:, 0]
-    if atlas.n_mips > 1 and screen_xy is not None:
+    if resident is not None:
+        roff, rsz = resident
+        off_xy = roff[pid].astype(jnp.float32)        # [T,2] (x,y)
+        sz_wh = rsz[pid][:, ::-1].astype(jnp.float32)  # (w,h)
+    elif atlas.n_mips > 1 and screen_xy is not None:
         L = atlas.n_mips
         sz0 = atlas.sizes[pid][:, ::-1]               # [T,2] (w,h) level 0
-        s = screen_xy[tris]                           # [T,3,2] px
-        e1 = s[:, 1] - s[:, 0]
-        e2 = s[:, 2] - s[:, 0]
-        area_px = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
-        d1t = d1u * sz0
-        d2t = d2u * sz0
-        area_tx = jnp.abs(d1t[:, 0] * d2t[:, 1] - d1t[:, 1] * d2t[:, 0])
-        # texels-per-pixel^2; level = floor(log2 sqrt(.)) = floor(.5 log2)
-        rho2 = area_tx / jnp.maximum(area_px, 1e-12)
-        lvl = jnp.clip(jnp.floor(0.5 * jnp.log2(jnp.maximum(rho2, 1e-20))),
-                       0, L - 1).astype(jnp.int32)
-        # degenerate screen triangles (<= a pixel) take the smallest level
-        lvl = jnp.where(area_px < 1e-9, L - 1, lvl)
+        lvl = _tri_mip_levels(g, sz0, screen_xy, tris, L)
         idx = pid * L + lvl                           # [T] traced
         off_xy = atlas.mip_offsets.reshape(-1, 2)[idx][:, ::-1] \
             .astype(jnp.float32)
@@ -894,13 +980,29 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                 else build_packed_atlas(part_textures,
                                         mip_levels=cfg.texture_mips)
             screen = None
+            resident = None
+            sample_atl = atl
             if atl is not None and atl.n_mips > 1 and cfg.texture_mips > 1:
                 screen, _, _ = raster.screen_from_clip(clip, width, height)
+                if cfg.texture_resident and atl.mip_meta:
+                    pn = atl.sizes.shape[0]
+                    pid_np = _static_pid(tris.shape[0], static, pn)
+                    g = uvs[tris]
+                    sz0 = atl.sizes[jnp.asarray(pid_np)][:, ::-1]
+                    lvl = _tri_mip_levels(g, sz0, screen, tris, atl.n_mips)
+                    nl = jax.ops.segment_min(lvl, jnp.asarray(pid_np),
+                                             num_segments=pn,
+                                             indices_are_sorted=True)
+                    mini, roff, rsz = build_resident_atlas(
+                        atl, nl, resident_slot_size(pn))
+                    resident = (roff, rsz)
+                    sample_atl = mini
             rows = (affine_uv_part_rows(uvs, tris, atl, static,
-                                        screen_xy=screen)
+                                        screen_xy=screen,
+                                        resident=resident)
                     if atl is not None else affine_uv_rows(uvs, tris))
             albedo = character_albedo_windowed(
-                static, vis.tri, None, part_textures, atl,
+                static, vis.tri, None, part_textures, sample_atl,
                 bary=vis.bary, uv_rows=rows)
         elif cfg.albedo_window:
             albedo = character_albedo_windowed(static, vis.tri, uv_px,

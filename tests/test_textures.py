@@ -358,3 +358,57 @@ def test_mip_textured_frame_matches_at_magnification():
                                     part_textures=big))
     assert np.isfinite(img_s).all()
     assert img_s.std() > 0.01
+
+
+def test_resident_atlas_matches_level0_at_magnification():
+    """texture_resident: when every part's needed level is 0 and fits the
+    slot, the per-frame resident mini-atlas must reproduce the plain
+    atlas render EXACTLY (same texels, relocated addressing); minified
+    frames stay finite and close to the mip render."""
+    import dataclasses
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.app.sample import (sample_character,
+                                                    sample_textures)
+    from simple_mmd_renderer_tpu.config import RenderConfig
+    from simple_mmd_renderer_tpu.core import pose as PO
+    from simple_mmd_renderer_tpu.render.pipeline import render_frame
+
+    pm = sample_character(density=0.3)
+    static = M.build_model(pm)
+    b = static.n_bones
+    rot = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
+    pose = PO.pre_physics_posing(
+        static, rot, jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((static.n_morphs,), jnp.float32))
+    pos, nrm = PO.deform(static, pose)
+    textures = sample_textures(sizes=(16, 8))  # tiny: level 0 fits any slot
+    cfg = RenderConfig(width=320, height=240, shadow_map_size=64,
+                       show_skybox=False, raster_mode="tiled",
+                       shadows_enabled=False, texture_mips=3)
+    cfg0 = dataclasses.replace(cfg, texture_mips=0)
+    img_l0 = np.asarray(render_frame(static, pos, nrm, cfg0,
+                                     part_textures=textures))
+    cfg_res = dataclasses.replace(cfg, texture_resident=True)
+    img_res = np.asarray(render_frame(static, pos, nrm, cfg_res,
+                                      part_textures=textures))
+    # resident level = most-detailed needed level per part, applied to ALL
+    # of the part's triangles; with tiny magnified textures that is level 0
+    # everywhere (even silhouette slivers) -> must EXACTLY equal the
+    # no-mip render (same texels, relocated addresses)
+    np.testing.assert_allclose(img_res, img_l0, atol=1e-6)
+
+    # minified: large textures on a small frame, resident mini-atlas
+    big = sample_textures(sizes=(256, 128))
+    cfg_s = dataclasses.replace(cfg, width=128, height=96, texture_mips=6,
+                                texture_resident=True)
+    img_s = np.asarray(render_frame(static, pos, nrm, cfg_s,
+                                    part_textures=big))
+    assert np.isfinite(img_s).all()
+    assert img_s.std() > 0.01
+    cfg_s0 = dataclasses.replace(cfg_s, texture_resident=False)
+    img_s0 = np.asarray(render_frame(static, pos, nrm, cfg_s0,
+                                     part_textures=big))
+    # resident forces each part to ONE (its most detailed needed) level;
+    # per-triangle mips may pick coarser levels per triangle — close, not
+    # equal
+    assert np.abs(img_s - img_s0).mean() < 0.03
