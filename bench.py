@@ -146,6 +146,19 @@ def main():
                   Scene(static16, ps16, mo16, cfg_tex,
                         part_textures=tex16), 30)
 
+        # the same load with the resident mip mini-atlas (PARITY.md D7:
+        # per-part needed-level texturing, detail capped at the slot size):
+        # per-frame level copies keep the gather table at the measured
+        # ~17 MB sweet spot instead of the 401 MB full mip chain
+        import dataclasses
+        cfg_res = AppConfig()
+        cfg_res.render = dataclasses.replace(cfg_tex.render, texture_mips=6,
+                                             texture_resident=1)
+        secondary("textured (16 parts, realistic mix, resident mips) "
+                  "at 1920x1080",
+                  Scene(static16, ps16, mo16, cfg_res,
+                        part_textures=tex16), 30)
+
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu
         else "fps_full_step_render_cpu_smoke",

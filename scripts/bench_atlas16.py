@@ -49,7 +49,7 @@ def main():
         return static, positions, normals
 
     def run(label, static, positions, normals, textures, mips=0,
-            resident=False):
+            resident=0):
         atlas = build_packed_atlas(textures, mip_levels=mips) \
             if textures else None
         if atlas is not None:
@@ -86,11 +86,12 @@ def main():
               sample_textures(realistic_texture_sizes(16)))
     mip = run("16-part realistic mix + texture_mips=6", st16, p16, n16,
               sample_textures(realistic_texture_sizes(16)), mips=6)
-    res = run("16-part realistic mix + resident mini-atlas", st16, p16, n16,
-              sample_textures(realistic_texture_sizes(16)), mips=6,
-              resident=True)
-    res2 = run("2-part 1024/256 + resident mini-atlas", st2, p2, n2,
-               sample_textures(), mips=6, resident=True)
+    for slot in (128, 256, 384):
+        run(f"16-part realistic mix + resident slot={slot}", st16, p16, n16,
+            sample_textures(realistic_texture_sizes(16)), mips=6,
+            resident=slot)
+    res2 = run("2-part 1024/256 + resident slot=256", st2, p2, n2,
+               sample_textures(), mips=6, resident=256)
     small = run("16-part all-256^2", st16, p16, n16,
                 sample_textures((256,) * 16))
     two = run("2-part 1024/256 (reference point)", st2, p2, n2,

@@ -42,6 +42,8 @@ def main():
         width, height, shadow, density, iters = 1920, 1080, 2048, 2.0, 30
     else:
         width, height, shadow, density, iters = 320, 180, 128, 0.5, 3
+    # PROFILE_DENSITY=4.0 profiles the large-mesh stress scene instead
+    density = float(os.environ.get("PROFILE_DENSITY", density))
 
     pm = sample_character(density=density)
     static = model_mod.build_model(pm)

@@ -71,9 +71,10 @@ class RenderConfig:
     # with texture_mips > 1: per frame, copy each part's needed mip level
     # into a fixed mini-atlas sized under the TPU gather-table cliff
     # (tables <= ~8 MB gather ~2x faster than any larger table —
-    # scripts/bench_gather_size.py). Caps per-part resident detail at
-    # resident_slot_size() texels when magnified (PARITY.md D7).
-    texture_resident: bool = False
+    # scripts/bench_gather_size.py). Caps per-part resident detail at the
+    # slot size when magnified (PARITY.md D7). 0 = off, 1/True = auto slot
+    # (render.pipeline.resident_slot_size), >=64 = explicit slot edge.
+    texture_resident: int = 0
     # ground shadow factor is sampled at 1/N resolution and bilinearly
     # upsampled (the 3x3 PCF is already a blur at that scale); 1 = exact
     # per-pixel lookup. TPU random gathers cost ~12us/kpx, so this is the

@@ -399,11 +399,15 @@ def _atlas_bilinear(atlas, xm, ym, fx, fy):
     return top * (1 - fy) + bot * fy
 
 
-def resident_slot_size(n_parts, budget_bytes=6 << 20):
-    """Slot edge (multiple of 128) so the whole resident mini-atlas stays
-    under the measured TPU gather-table cliff: tables <= ~8 MB gather ~2x
-    faster than ANY larger table (13 MB..294 MB all cost the same,
-    scripts/bench_gather_size.py). 16 B/texel (u32x4 rows)."""
+def resident_slot_size(n_parts, budget_bytes=20 << 20):
+    """Slot edge (multiple of 128) sizing the resident mini-atlas near the
+    measured in-PIPELINE optimum: at the realistic 16-part mix @1080p,
+    slot 256 (16.8 MB mini) costs 11.1 ms/frame vs 14.0 at slot 128
+    (4.2 MB) and 14.2 sampling the full 401 MB mip atlas — matching the
+    21 MB all-256^2 control at 10.5 (scripts/bench_atlas16.py). The pure-
+    gather microbench cliff sits lower (~8 MB) but its sub-8MB zone is
+    noisy; 17-21 MB tables are the reliable sweet spot. 16 B/texel
+    (u32x4 rows)."""
     import math
     s = int(math.sqrt(budget_bytes / (16.0 * max(n_parts, 1)))) // 128 * 128
     return max(min(s, 512), 128)
@@ -993,8 +997,10 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                     nl = jax.ops.segment_min(lvl, jnp.asarray(pid_np),
                                              num_segments=pn,
                                              indices_are_sorted=True)
-                    mini, roff, rsz = build_resident_atlas(
-                        atl, nl, resident_slot_size(pn))
+                    slot = (resident_slot_size(pn)
+                            if int(cfg.texture_resident) == 1
+                            else int(cfg.texture_resident))
+                    mini, roff, rsz = build_resident_atlas(atl, nl, slot)
                     resident = (roff, rsz)
                     sample_atl = mini
             rows = (affine_uv_part_rows(uvs, tris, atl, static,
