@@ -214,6 +214,17 @@ def _bin(s, rows, width, height, e_max, chunk):
     # so a dense tile never silently drops geometry
     counts = (start[1:] - start[:-1]).astype(jnp.int32)
 
+    # pad entries (tile == n_tiles) sort to the tail but carry their real
+    # triangle ids — scattered gather addresses for rows nobody reads. At
+    # e_max=6 a small-triangle mesh is ~75% pads; pinning them into the
+    # first 256 rows keeps the row gather's page footprint proportional to
+    # REAL entries (the albedo window's covered-pixel trick) without
+    # funneling millions of duplicate addresses onto one row.
+    eidx = jnp.arange(sorted_tri.shape[0], dtype=jnp.int32)
+    spread = 256 if t >= 256 else 1      # power of two; & not emulated %
+    sorted_tri = jnp.where(eidx < start[n_tiles], sorted_tri,
+                           eidx & (spread - 1))
+
     # gather rows NARROW (random row gathers cost ~3x more at 128 lanes),
     # then zero-pad the lane dim to 128 with a cheap sequential write: the
     # kernel's HBM->VMEM DMA slice requires 128-aligned lanes. Rows are also
@@ -976,6 +987,14 @@ def _bin_multi(s, rows, width, height, chunk):
     sorted_tri, start = _packed_sort(gtile.reshape(-1), gtri.reshape(-1),
                                      n_inst * t, n_inst * n_tiles)
     counts = (start[1:] - start[:-1]).astype(jnp.int32)
+
+    # pin pad entries' gather addresses into the first 256 rows (see _bin):
+    # their scattered real-triangle ids would otherwise spread the row
+    # gather's page footprint over the whole table for rows nobody reads
+    eidx = jnp.arange(sorted_tri.shape[0], dtype=jnp.int32)
+    spread = 256 if n_inst * t >= 256 else 1
+    sorted_tri = jnp.where(eidx < start[n_inst * n_tiles], sorted_tri,
+                           eidx & (spread - 1))
 
     flat_rows = rows.reshape(n_inst * t, rows.shape[2])
     lane_pad = (-rows.shape[2]) % 128
