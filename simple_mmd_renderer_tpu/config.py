@@ -75,6 +75,14 @@ class RenderConfig:
     # slot size when magnified (PARITY.md D7). 0 = off, 1/True = auto slot
     # (render.pipeline.resident_slot_size), >=64 = explicit slot edge.
     texture_resident: int = 0
+    # shadow raster restricted to the casters' tile bbox
+    # (ops/tiled_raster.rasterize_depth_tiled_window). MEASURED NEUTRAL at
+    # the bench scene (3.33 vs 3.44 ms full; short 8 px tiles regress to
+    # 3.8-4.7 ms): empty grid steps cost ~0.1 us each, so skipping them
+    # saves almost nothing — the depth pass is bound by binning + covered-
+    # tile DMA/compute, which the window cannot remove. Kept opt-in for
+    # very large maps (>=4096) where the empty-tile fraction grows.
+    shadow_window: bool = False
     # ground shadow factor is sampled at 1/N resolution and bilinearly
     # upsampled (the 3x3 PCF is already a blur at that scale); 1 = exact
     # per-pixel lookup. TPU random gathers cost ~12us/kpx, so this is the

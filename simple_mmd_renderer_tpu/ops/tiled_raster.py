@@ -111,11 +111,12 @@ def _setup_rows(s, tri_ids, attrs=None):
     return jnp.stack(cols, axis=-1)
 
 
-def _expand_tiles(s, width, height, e_max):
+def _expand_tiles(s, width, height, e_max, tile_h=None):
     """Per-triangle covered-tile enumeration -> (tile [T, E] with n_tiles
     for invalid/pad slots, big [T] oversized-triangle mask)."""
+    tile_h = tile_h or TILE_H
     tiles_x = -(-width // TILE_W)
-    tiles_y = -(-height // TILE_H)
+    tiles_y = -(-height // tile_h)
     n_tiles = tiles_x * tiles_y
 
     xy = s["xy"]
@@ -130,8 +131,8 @@ def _expand_tiles(s, width, height, e_max):
 
     tx0 = (xmin // TILE_W).astype(jnp.int32)
     tx1 = (xmax // TILE_W).astype(jnp.int32)
-    ty0 = (ymin // TILE_H).astype(jnp.int32)
-    ty1 = (ymax // TILE_H).astype(jnp.int32)
+    ty0 = (ymin // tile_h).astype(jnp.int32)
+    ty1 = (ymax // tile_h).astype(jnp.int32)
     bw = tx1 - tx0 + 1
     bh = ty1 - ty0 + 1
     n_cover = bw * bh
@@ -191,7 +192,7 @@ def _packed_sort(flat_tile, flat_tri, t, n_segments):
     return sorted_tri, start
 
 
-def _bin(s, rows, width, height, e_max, chunk):
+def _bin(s, rows, width, height, e_max, chunk, tile_h=None):
     """-> (sorted_rows [T*E + chunk pad, W], starts [n_tiles],
     counts [n_tiles], big_mask [T]).
 
@@ -199,10 +200,11 @@ def _bin(s, rows, width, height, e_max, chunk):
     are gathered into that order, so each tile's entries are contiguous: the
     kernel DMAs its [start, start+K) window straight from HBM — no dense-bin
     scatter (which costs more than everything else in this pass combined)."""
+    tile_h = tile_h or TILE_H
     tiles_x = -(-width // TILE_W)
-    tiles_y = -(-height // TILE_H)
+    tiles_y = -(-height // tile_h)
     n_tiles = tiles_x * tiles_y
-    tile, big = _expand_tiles(s, width, height, e_max)
+    tile, big = _expand_tiles(s, width, height, e_max, tile_h)
 
     flat_tile = tile.reshape(-1)
     t = tile.shape[0]
@@ -372,14 +374,16 @@ MSAA4_OFFSETS = ((-0.125, -0.375), (0.375, -0.125),
 
 def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
                       b1_ref, b2_ref, attr_ref, sdepth_ref, scratch, sem, *,
-                      tiles_x, n_attrs, chunk, inst_tiles=0):
+                      tiles_x, n_attrs, chunk, inst_tiles=0, unbias=True):
     """4x-MSAA variant of _raster_kernel: per-pixel center visibility +
     attributes (coverage extended to any-sample so edge pixels carry valid
     attributes, like non-centroid GPU interpolation) plus PER-SAMPLE depth
     at the 4 standard offsets. Per-sample deltas of every plane are scalar
     constants per entry, so each extra sample costs ~12 vector ops.
     `inst_tiles` > 0 folds the fused multi-instance (crowd) grid exactly as
-    in _raster_kernel."""
+    in _raster_kernel. `unbias=False` keeps the +2 edge-extrapolation depth
+    bias in the output so multi-pass callers can merge passes with the
+    center-beats-edge rule intact, un-biasing once at the end."""
     i = pl.program_id(0)
     local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
     ty = local // tiles_x
@@ -497,9 +501,10 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
 
     depth, tri, b1v, b2v, num, den, sdepth = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
-    # un-bias: empty stays far (1.0); extrapolated edge winners drop the +2
-    depth = jnp.where(tri < 0, 1.0,
-                      jnp.where(depth > 1.5, depth - 2.0, depth))
+    if unbias:
+        # un-bias: empty stays far (1.0); edge winners drop the +2
+        depth = jnp.where(tri < 0, 1.0,
+                          jnp.where(depth > 1.5, depth - 2.0, depth))
     depth_ref[...] = depth.reshape(depth_ref.shape)
     tri_ref[...] = tri.reshape(tri_ref.shape)
     b1_ref[...] = b1v.reshape(b1_ref.shape)
@@ -593,26 +598,20 @@ def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
     return vis, attr, sdepth
 
 
-def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
-                  *, tiles_x, chunk, inst_tiles=0):
-    """Depth-only variant of _raster_kernel for shadow maps: no tri/bary/attr
-    accumulators, no per-entry valid lane (binned entries are valid by
-    construction) and no zp<=1 test (implied by zp <= depth, depth0 = 1) —
-    roughly half the per-entry VPU ops and one output buffer instead of five.
-    """
-    i = pl.program_id(0)
-    local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
-    ty = local // tiles_x
-    tx = local % tiles_x
-    y0 = (ty * TILE_H).astype(jnp.float32)
+def _depth_tile_loop(start, count, ty, tx, rows_hbm, scratch, sem, chunk,
+                     tile_h):
+    """Shared depth-only tile loop: stream the tile's entry window from HBM
+    in double-buffered chunks and fold the depth min. (ty, tx) are FULL-map
+    tile coordinates, so pixel arithmetic is identical whether the kernel
+    runs the whole grid or a window of it. Returns the [tile_h, TILE_W]
+    depth tile."""
+    y0 = (ty * tile_h).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+    ys = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0).astype(
         jnp.float32) + (y0 + 0.5)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1).astype(
         jnp.float32) + (x0 + 0.5)
 
-    count = counts_ref[i]
-    start = starts_ref[i]
     n_chunks = (count + chunk - 1) // chunk
 
     def chunk_dma(slot, c):
@@ -661,9 +660,41 @@ def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
         return jax.lax.fori_loop(
             0, n_groups, lambda g, d: body(g, slot, n_here, d), depth)
 
-    depth_ref[...] = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        jnp.ones((TILE_H, TILE_W), jnp.float32)).reshape(depth_ref.shape)
+    return jax.lax.fori_loop(0, n_chunks, chunk_body,
+                             jnp.ones((tile_h, TILE_W), jnp.float32))
+
+
+def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
+                  *, tiles_x, chunk, inst_tiles=0):
+    """Depth-only variant of _raster_kernel for shadow maps: no tri/bary/attr
+    accumulators, no per-entry valid lane (binned entries are valid by
+    construction) and no zp<=1 test (implied by zp <= depth, depth0 = 1) —
+    roughly half the per-entry VPU ops and one output buffer instead of five.
+    """
+    i = pl.program_id(0)
+    local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
+    ty = local // tiles_x
+    tx = local % tiles_x
+    depth_ref[...] = _depth_tile_loop(
+        starts_ref[i], counts_ref[i], ty, tx, rows_hbm, scratch, sem, chunk,
+        TILE_H).reshape(depth_ref.shape)
+
+
+def _depth_kernel_win(origin_ref, starts_ref, counts_ref, rows_hbm,
+                      depth_ref, scratch, sem, *, tiles_x, chunk, win_tx,
+                      tile_h):
+    """Windowed depth kernel: the grid covers only a win_ty x win_tx block
+    of the full tile grid, whose origin (tile coords, traced) arrives via
+    scalar prefetch. Pixel coordinates and entry windows are the FULL map's
+    (starts/counts are indexed by global tile id), so results are
+    bit-identical to the full-grid kernel over the window."""
+    i = pl.program_id(0)
+    ty = origin_ref[0] + i // win_tx
+    tx = origin_ref[1] + i % win_tx
+    gid = ty * tiles_x + tx
+    depth_ref[...] = _depth_tile_loop(
+        starts_ref[gid], counts_ref[gid], ty, tx, rows_hbm, scratch, sem,
+        chunk, tile_h).reshape(depth_ref.shape)
 
 
 def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
@@ -694,6 +725,148 @@ def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
         interpret=_interpret(),
     )(starts, counts, sorted_rows)
     return depth[:height, :width]
+
+
+def _run_depth_kernel_win(sorted_rows, starts, counts, origin, tiles_x,
+                          win_th, win_tw, chunk, tile_h):
+    """Run the windowed depth kernel over a win_th x win_tw tile block whose
+    (ty, tx) origin is the traced `origin` [2] i32. Returns the window's
+    depth [win_th*tile_h, win_tw*TILE_W]."""
+    assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
+    row_w = sorted_rows.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(win_th * win_tw,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((tile_h, TILE_W),
+                         lambda i, o, s, c: (i // win_tw, i % win_tw),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, = pl.pallas_call(
+        partial(_depth_kernel_win, tiles_x=tiles_x, chunk=chunk,
+                win_tx=win_tw, tile_h=tile_h),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((win_th * tile_h, win_tw * TILE_W),
+                                        jnp.float32)],
+        interpret=_interpret(),
+    )(origin, starts, counts, sorted_rows)
+    return depth
+
+
+def _tile_ladder(full_tiles, fracs=(0.25, 0.5)):
+    """Static ladder of window extents in TILES, ending at the full grid.
+    All sizes live in one program as lax.switch branches; coarse fracs keep
+    the kernel-variant count (and compile time) low — window slack only
+    costs empty grid steps (~0.6 us each)."""
+    out = []
+    for f in fracs:
+        s = max(1, min(int(round(full_tiles * f)), full_tiles))
+        if s < full_tiles and s not in out:
+            out.append(s)
+    out.append(full_tiles)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def rasterize_depth_tiled_window(clip, tris, width, height,
+                                 cull=raster.CULL_BACK, e_max=9, chunk=256,
+                                 tile_h=8):
+    """Depth-only rasterization restricted to the casters' tile bounding
+    box, pasted into a far-initialized (1.0) full map — bit-identical to
+    rasterize_depth_tiled (the kernel evaluates full-map pixel coordinates;
+    tiles outside the window contain no caster coverage by construction of
+    the bbox) at a fraction of its grid steps.
+
+    MEASURED NEUTRAL at the 2048^2 bench shadow map (3.33 ms windowed
+    tile_h=32 vs 3.44 full; tile_h=8 REGRESSES to 3.8-4.7 ms at any chunk):
+    empty grid steps cost ~0.1 us each on this hardware, so skipping ~900
+    of them buys ~0.1 ms, while short tiles multiply covered-tile DMA
+    latency and per-tile fixed cost faster than they cut per-entry vector
+    work. The pass is bound by binning (sort + row gather) and covered-tile
+    streaming, which the window cannot remove. Kept as an opt-in
+    (RenderConfig.shadow_window) for very large, very sparse targets.
+
+    Caveat: short `tile_h` lowers the bbox-span threshold at which a
+    triangle falls to the BIG_TRI_CAP-bounded merge (at tile_h=8 a ~44 px
+    triangle already spans >6 tiles); scenes with >64 such casters drop
+    the excess, same cliff as the base path. Window extents come from a
+    small static ladder (lax.switch); the origin is traced
+    (scalar-prefetched)."""
+    s = raster.setup(clip, tris, width, height, cull)
+    rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
+    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
+                                            chunk, tile_h)
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // tile_h)
+    tws = _tile_ladder(tiles_x)
+    ths = _tile_ladder(tiles_y)
+
+    if len(tws) == 1 and len(ths) == 1:
+        depth = _run_depth_kernel_win(
+            sorted_rows, starts, counts, jnp.zeros((2,), jnp.int32),
+            tiles_x, tiles_y, tiles_x, chunk, tile_h)[:height, :width]
+    else:
+        # caster tile bbox over valid triangles (same clamping as
+        # _expand_tiles, so every binned entry's tile lies inside it)
+        xy = s["xy"]
+        valid = s["valid"]
+        tx0_t = (jnp.clip(jnp.min(xy[:, :, 0], 1), 0.0, width - 1.0)
+                 // TILE_W).astype(jnp.int32)
+        tx1_t = (jnp.clip(jnp.max(xy[:, :, 0], 1), 0.0, width - 1.0)
+                 // TILE_W).astype(jnp.int32)
+        ty0_t = (jnp.clip(jnp.min(xy[:, :, 1], 1), 0.0, height - 1.0)
+                 // tile_h).astype(jnp.int32)
+        ty1_t = (jnp.clip(jnp.max(xy[:, :, 1], 1), 0.0, height - 1.0)
+                 // tile_h).astype(jnp.int32)
+        tx0 = jnp.min(jnp.where(valid, tx0_t, tiles_x - 1))
+        tx1 = jnp.max(jnp.where(valid, tx1_t, 0))
+        ty0 = jnp.min(jnp.where(valid, ty0_t, tiles_y - 1))
+        ty1 = jnp.max(jnp.where(valid, ty1_t, 0))
+        need_w = tx1 + 1 - tx0
+        need_h = ty1 + 1 - ty0
+        iw = sum((need_w > t).astype(jnp.int32) for t in tws[:-1])
+        ih = sum((need_h > t).astype(jnp.int32) for t in ths[:-1])
+
+        def make_branch(tw, th):
+            def branch(_):
+                oy = jnp.clip(ty0, 0, tiles_y - th)
+                ox = jnp.clip(tx0, 0, tiles_x - tw)
+                win = _run_depth_kernel_win(
+                    sorted_rows, starts, counts, jnp.stack([oy, ox]),
+                    tiles_x, th, tw, chunk, tile_h)
+                full = jnp.ones((tiles_y * tile_h, tiles_x * TILE_W),
+                                jnp.float32)
+                return jax.lax.dynamic_update_slice(
+                    full, win, (oy * tile_h, ox * TILE_W))[:height, :width]
+            return branch
+
+        branches = [make_branch(tw, th) for tw in tws for th in ths]
+        depth = jax.lax.switch(iw * len(ths) + ih, branches, 0)
+
+    if e_max >= tiles_x * tiles_y:   # covers-all at THIS tile grid
+        return depth
+
+    def merge(depth):
+        t = tris.shape[0]
+        cap = min(BIG_TRI_CAP, t)
+        order = jnp.argsort(~big, stable=True)[:cap]
+        s_big = {
+            "xy": s["xy"][order],
+            "z": s["z"][order],
+            "area2": s["area2"][order],
+            "valid": (s["valid"] & big)[order],
+            "inv_w": s["inv_w"][order],
+        }
+        vis_big = _scan_subset(clip, tris[order], width, height, s_big)
+        return jnp.minimum(depth, vis_big.depth)
+
+    return jax.lax.cond(jnp.any(big), merge, lambda d: d, depth)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -880,7 +1053,7 @@ def rasterize_attrs_tiled(clip, tris, attrs, width, height,
 
 
 def binning_stats(clip, tris, width, height, cull=raster.CULL_BACK,
-                  e_max=6, chunk=256):
+                  e_max=6, chunk=256, tile_h=None):
     """Binning diagnostics for a scene at given raster parameters.
 
     Per-tile capacity is unbounded (the kernel streams chunks), so the only
@@ -890,7 +1063,8 @@ def binning_stats(clip, tris, width, height, cull=raster.CULL_BACK,
     big_dropped)."""
     s = raster.setup(clip, tris, width, height, cull)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
-    _, starts, counts, big = _bin(s, rows, width, height, e_max, chunk)
+    _, starts, counts, big = _bin(s, rows, width, height, e_max, chunk,
+                                  tile_h)
     n_big = int(jnp.sum(big))
     return dict(
         max_tile_entries=int(jnp.max(counts)),
@@ -959,49 +1133,95 @@ def _crowd_e_max(width, height) -> int:
     return min(tiles_x * tiles_y, CROWD_E_MAX)
 
 
-def _bin_multi(s, rows, width, height, chunk):
-    """Batched setup dicts (leading instance axis) -> fused bin tables.
+# fused crowd binning runs in up to this many validity-compacted passes:
+# pass k bins the compacted triangle ids [k*ceil(I*T/DIV), ...). At crowd
+# viewports ~90% of triangles fail the sample-point/face cull (a 25.6k-tri
+# character at 256x144 keeps 2.8k), yet every triangle used to occupy E sort
+# slots and one 512 B sorted row: the sort (52 ms) and the count-bound row
+# gather (~4.5 ns/row -> 44 ms) over 9.8M mostly-pad entries dominated the
+# dense-crowd frame. Compaction sorts tris by (valid, draw order) once and
+# bins only ceil(I*T/DIV) of them per pass; passes whose id range holds no
+# valid triangle are lax.cond-skipped (their big buffers never materialize).
+# Exact for EVERY input: all DIV passes together cover all triangles, and
+# later passes hold higher draw ids, so the depth merge's later-wins tie
+# rule reproduces the single-sort draw order.
+CROWD_COMPACT_DIV = 4
 
-    Expansion is bbox-limited to _crowd_e_max tiles per triangle (triangles
-    spanning more go to the big mask for the scan fallback), and lanes are
-    padded to 128 BEFORE the gather (the kernel DMA needs 128-aligned lane
-    widths) so the sorted table is built directly at its final width — ONE
-    [I*T*E, 128] buffer instead of the narrow-gather + pad pair, whose two
-    copies peaked at 2x HBM on dense crowds. -> (sorted_rows [I*T*E + chunk,
-    128], starts [I*n_tiles], counts [I*n_tiles], big [I, T])."""
+
+def _crowd_compact_passes(s, rows, width, height, chunk, run_pass,
+                          empty_pass, merge):
+    """Validity-compacted fused crowd binning driver.
+
+    s: vmapped setup dicts, rows: [I, T, W] setup rows.
+    run_pass(sorted_rows, starts, counts) -> pytree of pass outputs;
+    empty_pass() -> the same pytree for a pass that rendered nothing;
+    merge(a, b) -> pytree combining pass a with LATER pass b (later wins
+    depth ties). Returns (merged outputs, big [I, T])."""
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     n_tiles = tiles_x * tiles_y
     e_max = _crowd_e_max(width, height)
     n_inst, t = rows.shape[0], rows.shape[1]
+    n = n_inst * t
 
     tile, big = jax.vmap(
         lambda si: _expand_tiles(si, width, height, e_max))(s)  # [I,T,E]
     inst = jnp.arange(n_inst, dtype=jnp.int32)[:, None, None]
     gtile = jnp.where(tile < n_tiles, inst * n_tiles + tile,
                       n_inst * n_tiles)
-    gtri = (inst * t
-            + jnp.arange(t, dtype=jnp.int32)[None, :, None])  # [I,T,1]
-    gtri = jnp.broadcast_to(gtri, gtile.shape)
+    gt_flat = gtile.reshape(n, e_max)
+    # slot 0 is real iff the triangle produced any entry at all
+    valid_tri = gt_flat[:, 0] < n_inst * n_tiles
+    n_valid = jnp.sum(valid_tri.astype(jnp.int32))
 
-    sorted_tri, start = _packed_sort(gtile.reshape(-1), gtri.reshape(-1),
-                                     n_inst * t, n_inst * n_tiles)
-    counts = (start[1:] - start[:-1]).astype(jnp.int32)
+    # compaction: valid tris first, draw order (global id) within each group
+    vbits = max(int(n - 1).bit_length(), 1)
+    assert n < (1 << 30), "crowd id space exceeds the int32 sort key"
+    key1 = (jnp.where(valid_tri, 0, 1 << vbits)
+            + jnp.arange(n, dtype=jnp.int32))
+    cids = jax.lax.sort(key1, is_stable=False) & ((1 << vbits) - 1)
 
-    # pin pad entries' gather addresses into the first 256 rows (see _bin):
-    # their scattered real-triangle ids would otherwise spread the row
-    # gather's page footprint over the whole table for rows nobody reads
-    eidx = jnp.arange(sorted_tri.shape[0], dtype=jnp.int32)
-    spread = 256 if n_inst * t >= 256 else 1
-    sorted_tri = jnp.where(eidx < start[n_inst * n_tiles], sorted_tri,
-                           eidx & (spread - 1))
+    c_v = -(-n // CROWD_COMPACT_DIV)
+    n_pass = -(-n // c_v)
+    cids = jnp.pad(cids, (0, n_pass * c_v - n), constant_values=n)
 
-    flat_rows = rows.reshape(n_inst * t, rows.shape[2])
+    # rows at final lane width (the kernel DMA needs 128-aligned lanes),
+    # +1 all-zero pad row addressed by id n
+    flat_rows = rows.reshape(n, rows.shape[2])
     lane_pad = (-rows.shape[2]) % 128
-    flat_rows = jnp.pad(flat_rows, ((0, 1), (0, lane_pad)))  # +1 pad row
-    sorted_rows = flat_rows[jnp.pad(sorted_tri, (0, chunk),
-                                    constant_values=n_inst * t)]
-    return sorted_rows, start[:n_inst * n_tiles], counts, big
+    flat_rows = jnp.pad(flat_rows, ((0, 1), (0, lane_pad)))
+    gt_pad = jnp.pad(gt_flat, ((0, 1), (0, 0)),
+                     constant_values=n_inst * n_tiles)
+
+    def make_pass(k):
+        def run(_):
+            ids = jax.lax.dynamic_slice(cids, (k * c_v,), (c_v,))
+            gt = gt_pad[ids]                                   # [C, E]
+            flat_tile = gt.reshape(-1)
+            flat_gid = jnp.broadcast_to(ids[:, None],
+                                        (c_v, e_max)).reshape(-1)
+            # t = n + 1: the cids tail padding uses id n (the all-pad row),
+            # so the packed key's value bits must cover it
+            sorted_gid, start = _packed_sort(flat_tile, flat_gid, n + 1,
+                                             n_inst * n_tiles)
+            counts = (start[1:] - start[:-1]).astype(jnp.int32)
+            # pin pad entries' gather addresses into the first 256 rows
+            # (see _bin): scattered dead addresses spread the row gather's
+            # page footprint over the whole table
+            eidx = jnp.arange(sorted_gid.shape[0], dtype=jnp.int32)
+            spread = 256 if n >= 256 else 1
+            sorted_gid = jnp.where(eidx < start[n_inst * n_tiles],
+                                   sorted_gid, eidx & (spread - 1))
+            sorted_rows = flat_rows[jnp.pad(sorted_gid, (0, chunk),
+                                            constant_values=n)]
+            return run_pass(sorted_rows, start[:n_inst * n_tiles], counts)
+        return run
+
+    out = make_pass(0)(None)
+    for k in range(1, n_pass):
+        out = merge(out, jax.lax.cond(n_valid > k * c_v, make_pass(k),
+                                      lambda _: empty_pass(), None))
+    return out, big
 
 
 def _run_kernel_multi(sorted_rows, starts, counts, n_inst, width, height,
@@ -1132,11 +1352,32 @@ def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
     rows = jax.vmap(
         lambda si, ai: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
-    sorted_rows, starts, counts, big = _bin_multi(s, rows, width, height,
-                                                  chunk)
-    vis, attr = _run_kernel_multi(sorted_rows, starts, counts,
-                                  clip.shape[0], width, height,
-                                  attrs.shape[-1], chunk)
+    n_inst = clip.shape[0]
+    na = attrs.shape[-1]
+
+    def run_pass(sorted_rows, starts, counts):
+        v, a = _run_kernel_multi(sorted_rows, starts, counts, n_inst,
+                                 width, height, na, chunk)
+        return v.depth, v.tri, v.bary, a
+
+    def empty_pass():
+        return (jnp.ones((n_inst, height, width), jnp.float32),
+                jnp.full((n_inst, height, width), -1, jnp.int32),
+                jnp.zeros((n_inst, height, width, 2), jnp.float32),
+                jnp.zeros((n_inst, max(na, 1), height, width), jnp.float32))
+
+    def merge(a, b):
+        d1, t1, b1, a1 = a
+        d2, t2, b2, a2 = b
+        better = (t2 >= 0) & (d2 <= d1)   # later pass wins depth ties
+        return (jnp.where(better, d2, d1),
+                jnp.where(better, t2, t1),
+                jnp.where(better[..., None], b2, b1),
+                jnp.where(better[:, None], a2, a1))
+
+    (depth, tri, bary, attr), big = _crowd_compact_passes(
+        s, rows, width, height, chunk, run_pass, empty_pass, merge)
+    vis = raster.VisBuffer(depth=depth, tri=tri, bary=bary)
     if not _covers_all(_crowd_e_max(width, height), width, height):
         vis, attr, _ = _merge_big_crowd(vis, attr, clip, tris, width,
                                         height, s, big, attrs)
@@ -1146,7 +1387,7 @@ def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
 
 
 def _run_kernel_ms_multi(sorted_rows, starts, counts, n_inst, width, height,
-                         n_attrs, chunk):
+                         n_attrs, chunk, unbias=True):
     assert chunk % GROUP == 0, "chunk must be a multiple of GROUP"
     pad_w = -(-width // TILE_W) * TILE_W
     pad_h = -(-height // TILE_H) * TILE_H
@@ -1181,7 +1422,7 @@ def _run_kernel_ms_multi(sorted_rows, starts, counts, n_inst, width, height,
     )
     depth, tri, b1, b2, attr, sdepth = pl.pallas_call(
         partial(_raster_kernel_ms, tiles_x=tiles_x, n_attrs=n_attrs,
-                chunk=chunk, inst_tiles=n_tiles),
+                chunk=chunk, inst_tiles=n_tiles, unbias=unbias),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
@@ -1218,11 +1459,39 @@ def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
     rows = jax.vmap(
         lambda si, ai: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
-    sorted_rows, starts, counts, big = _bin_multi(s, rows, width, height,
-                                                  chunk)
-    vis, attr, sdepth = _run_kernel_ms_multi(
-        sorted_rows, starts, counts, clip.shape[0], width, height,
-        attrs.shape[-1], chunk)
+    n_inst = clip.shape[0]
+    na = attrs.shape[-1]
+
+    def run_pass(sorted_rows, starts, counts):
+        # biased center depth (unbias=False): edge-extrapolation winners
+        # carry +2 so the cross-pass merge keeps center-beats-edge exact
+        v, a, sd = _run_kernel_ms_multi(sorted_rows, starts, counts, n_inst,
+                                        width, height, na, chunk,
+                                        unbias=False)
+        return v.depth, v.tri, v.bary, a, sd
+
+    def empty_pass():
+        return (jnp.full((n_inst, height, width), 3.0, jnp.float32),
+                jnp.full((n_inst, height, width), -1, jnp.int32),
+                jnp.zeros((n_inst, height, width, 2), jnp.float32),
+                jnp.zeros((n_inst, max(na, 1), height, width), jnp.float32),
+                jnp.ones((n_inst, 4, height, width), jnp.float32))
+
+    def merge(a, b):
+        d1, t1, b1, a1, sd1 = a
+        d2, t2, b2, a2, sd2 = b
+        better = (t2 >= 0) & (d2 <= d1)
+        return (jnp.where(better, d2, d1),
+                jnp.where(better, t2, t1),
+                jnp.where(better[..., None], b2, b1),
+                jnp.where(better[:, None], a2, a1),
+                jnp.minimum(sd1, sd2))
+
+    (depth, tri, bary, attr, sdepth), big = _crowd_compact_passes(
+        s, rows, width, height, chunk, run_pass, empty_pass, merge)
+    depth = jnp.where(tri < 0, 1.0,
+                      jnp.where(depth > 1.5, depth - 2.0, depth))
+    vis = raster.VisBuffer(depth=depth, tri=tri, bary=bary)
     if not _covers_all(_crowd_e_max(width, height), width, height):
         vis, attr, big_won = _merge_big_crowd(vis, attr, clip, tris, width,
                                               height, s, big, attrs)
@@ -1278,10 +1547,13 @@ def rasterize_depth_tiled_crowd(clip, tris, width, height,
     rows = jax.vmap(
         lambda si: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32)))(s)
-    sorted_rows, starts, counts, big = _bin_multi(s, rows, width, height,
-                                                  chunk)
-    depth = _run_depth_kernel_multi(sorted_rows, starts, counts,
-                                    clip.shape[0], width, height, chunk)
+    n_inst = clip.shape[0]
+    depth, big = _crowd_compact_passes(
+        s, rows, width, height, chunk,
+        lambda sr, st, ct: _run_depth_kernel_multi(sr, st, ct, n_inst,
+                                                   width, height, chunk),
+        lambda: jnp.ones((n_inst, height, width), jnp.float32),
+        jnp.minimum)
     if not _covers_all(_crowd_e_max(width, height), width, height):
         depth = _merge_big_depth_crowd(depth, clip, tris, width, height, s,
                                        big)

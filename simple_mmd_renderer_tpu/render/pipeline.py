@@ -141,14 +141,24 @@ def _pick_raster(cfg, n_tris):
     return raster.rasterize
 
 
-def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None):
+def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None,
+                window=False):
     """Depth-only character raster from the light (front-cull,
     main.cpp:942)."""
     raster_fn = raster_fn or raster.rasterize
     clip = raster.transform_clip(verts_m, light_mvp)
     if raster_fn is not raster.rasterize:
         # depth-only kernel: ~half the per-entry ops of the full raster
-        from ..ops.tiled_raster import rasterize_depth_tiled
+        from ..ops.tiled_raster import (rasterize_depth_tiled,
+                                        rasterize_depth_tiled_window)
+        if window and size >= 1024:
+            # caster-bbox windowed raster (RenderConfig.shadow_window for
+            # why this is OFF by default: measured neutral at 2048 — empty
+            # grid steps are nearly free, the pass is binning/DMA-bound)
+            return rasterize_depth_tiled_window(clip, tris_flipped, size,
+                                                size, raster.CULL_FRONT,
+                                                _tiled_e_max(size, size),
+                                                256, 32)
         return rasterize_depth_tiled(clip, tris_flipped, size, size,
                                      raster.CULL_FRONT,
                                      _tiled_e_max(size, size), 256)
@@ -844,7 +854,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     # --- shadow pass
     if cfg.shadows_enabled:
         shadow_map = shadow_pass(verts_m, tris, mats["light_mvp"],
-                                 cfg.shadow_map_size, raster_fn)
+                                 cfg.shadow_map_size, raster_fn,
+                                 cfg.shadow_window)
     else:
         shadow_map = jnp.ones((1, 1), jnp.float32)
 

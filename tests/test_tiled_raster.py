@@ -208,6 +208,49 @@ def test_big_tri_merge_still_active_at_large_targets():
     _assert_vis_equal(got, ref)
 
 
+def test_windowed_depth_matches_full():
+    """rasterize_depth_tiled_window (shadow path: caster-bbox window +
+    short tiles + paste-back) == rasterize_depth_tiled, for clustered
+    geometry (small window branch), spread geometry (full-grid branch) and
+    an oversized triangle through the merge fallback."""
+    rng = np.random.default_rng(23)
+    w, h = 512, 512
+    # clustered casters in one corner: exercises a small ladder branch
+    clip_c, tris_c = _random_mesh(rng, t=150, spread=0.3, size=0.1)
+    c = np.array(clip_c)
+    c[:, 0] = c[:, 0] * 0.4 - 0.55
+    c[:, 1] = c[:, 1] * 0.4 + 0.55
+    clip_c = jnp.asarray(c)
+    # spread small casters + one big triangle: full branch + merge path.
+    # (Shadow-scale triangles: at 8 px tiles, triangles taller than ~44 px
+    # overflow e_max and fall to the BIG_TRI_CAP-bounded merge — the same
+    # cliff as the base path, just earlier; the shadow scenes this path
+    # serves measure n_big=0, see rasterize_depth_tiled_window.)
+    clip_s, tris_s = _random_mesh(rng, t=150, size=0.08)
+    big = np.array([[-2, -2, 0.9, 1], [2, -2, 0.9, 1], [0, 2, 0.9, 1]],
+                   np.float32)
+    clip_b = jnp.concatenate([clip_s, jnp.asarray(big)])
+    tris_b = jnp.concatenate(
+        [tris_s, jnp.asarray([[450, 451, 452]], jnp.int32)])
+    for clip, tris in ((clip_c, tris_c), (clip_b, tris_b)):
+        for cull in (raster.CULL_NONE, raster.CULL_FRONT):
+            ref = tiled_raster.rasterize_depth_tiled(clip, tris, w, h, cull,
+                                                     6, 64)
+            got = tiled_raster.rasterize_depth_tiled_window(
+                clip, tris, w, h, cull, 6, 64, 8)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5)
+
+
+def test_windowed_depth_empty_scene():
+    """No valid casters: the windowed raster must return an all-far map."""
+    clip = jnp.asarray([[0.0, 0.0, -5.0, 1.0]] * 3)   # z far outside
+    tris = jnp.asarray([[0, 1, 2]], jnp.int32)
+    got = tiled_raster.rasterize_depth_tiled_window(
+        clip, tris, 256, 256, raster.CULL_NONE, 6, 64, 8)
+    assert (np.asarray(got) == 1.0).all()
+
+
 def _shift_clip(clip, ox, oy, w, h):
     """Clip-space translation that moves the pixel-center sample grid onto
     the (ox, oy)-offset sample positions (y is screen-down)."""
@@ -308,6 +351,40 @@ def test_crowd_fused_depth_matches_per_instance():
                 clip_b[i], tris, w, h, cull, 4, 64)
             np.testing.assert_allclose(np.asarray(depth[i]),
                                        np.asarray(ref), atol=2e-5)
+
+
+def test_crowd_compaction_mostly_culled():
+    """The validity-compacted crowd binning (CROWD_COMPACT_DIV passes,
+    later ones cond-skipped) must stay exact when most triangles are
+    culled — the crowd regime it exists for — including instances that are
+    entirely offscreen, and when every pass fires (all-valid scenes are
+    covered by the other crowd tests)."""
+    rng = np.random.default_rng(31)
+    n_inst, w, h = 4, 256, 128
+    clips, attrs = [], []
+    for k in range(n_inst):
+        c, tris = _random_mesh(rng, t=100)
+        c = np.array(c)
+        if k == 1:
+            c[:, 0] += 10.0          # entirely offscreen
+        if k == 3:
+            c[:, 2] = -5.0           # entirely behind the depth range
+        clips.append(c)
+        attrs.append(rng.uniform(0, 1, (c.shape[0], 2)).astype(np.float32))
+    clip_b = jnp.asarray(np.stack(clips))
+    attr_b = jnp.asarray(np.stack(attrs))
+    vis, attr = tiled_raster.rasterize_attrs_tiled_crowd(
+        clip_b, tris, attr_b, w, h, raster.CULL_NONE)
+    assert (np.asarray(vis.tri[1]) == -1).all()
+    for i in (0, 2):
+        ref_vis, ref_attr = tiled_raster.rasterize_attrs_tiled(
+            clip_b[i], tris, attr_b[i], w, h, raster.CULL_NONE, 8, 64)
+        np.testing.assert_allclose(np.asarray(vis.depth[i]),
+                                   np.asarray(ref_vis.depth), atol=2e-5)
+        same = np.asarray(vis.tri[i]) == np.asarray(ref_vis.tri)
+        assert (~same).mean() < 1e-3
+        np.testing.assert_allclose(np.asarray(attr[i])[same],
+                                   np.asarray(ref_attr)[same], atol=2e-4)
 
 
 def test_packed_sort_paths_agree():
