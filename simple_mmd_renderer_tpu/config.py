@@ -83,6 +83,13 @@ class RenderConfig:
     # tile DMA/compute, which the window cannot remove. Kept opt-in for
     # very large maps (>=4096) where the empty-tile fraction grows.
     shadow_window: bool = False
+    # validity-compacted prefix binning in the single-instance tiled raster
+    # (ops/tiled_raster._bin_prefix): the bin sorts/gathers only the
+    # smallest static prefix of valid-first compacted triangle ids that
+    # covers the frame's survivor count (~half the mesh survives face
+    # culling), selected per frame via lax.switch. Disabled automatically
+    # on the crowd vmap fallback, where switch would run every rung.
+    compact_bin: bool = True
     # ground shadow factor is sampled at 1/N resolution and bilinearly
     # upsampled (the 3x3 PCF is already a blur at that scale); 1 = exact
     # per-pixel lookup. TPU random gathers cost ~12us/kpx, so this is the

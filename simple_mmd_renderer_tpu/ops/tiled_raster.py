@@ -239,6 +239,77 @@ def _bin(s, rows, width, height, e_max, chunk, tile_h=None):
     return sorted_rows, start[:n_tiles], counts, big
 
 
+# validity-compacted PREFIX binning for the single-instance paths. Most
+# scenes cull ~half their triangles (backface in the main view, frontface in
+# the shadow pass — main.cpp:942) yet every triangle used to occupy e_max
+# sort slots and one gathered 128-lane row; the bin's sort and row gather are
+# its dominant costs and both scale with the slot count, not the real-entry
+# count. Compacting valid triangle ids to the front (ONE cheap T-key sort)
+# and binning only a static prefix C >= n_valid cuts both by 1 - C/T. The
+# prefix size is picked at runtime from a static ladder via lax.switch, so
+# exactly ONE branch traces per frame on the device. The single-instance
+# entry points are never vmapped on the hot paths; the crowd vmap FALLBACK
+# disables compaction (render.pipeline reads RenderConfig.compact_bin),
+# because switch under vmap batches to an all-branches select.
+COMPACT_MIN_T = 4096
+COMPACT_RUNGS = ((3, 8), (5, 8))  # prefix fractions (num, den); plus full T
+
+
+def _bin_prefix(s, rows, width, height, e_max, chunk, run, tile_h=None):
+    """Compacted-prefix variant of _bin, driving `run` directly.
+
+    run(sorted_rows, starts, counts) -> pytree (the kernel launch); it is
+    traced once per ladder rung, and lax.switch executes the smallest rung
+    with prefix >= the frame's valid-triangle count. Exact for every input:
+    the prefix always contains every valid triangle, ids keep draw order
+    through the packed sort's low bits, and invalid ids inside the prefix
+    expand to pad entries exactly as in _bin. Returns (run outputs, big)."""
+    tile_h = tile_h or TILE_H
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // tile_h)
+    n_tiles = tiles_x * tiles_y
+    tile, big = _expand_tiles(s, width, height, e_max, tile_h)
+    t = tile.shape[0]
+    # slot 0 is real iff the triangle produced any entry at all
+    valid_tri = tile[:, 0] < n_tiles
+    n_valid = jnp.sum(valid_tri.astype(jnp.int32))
+
+    vbits = max(int(t - 1).bit_length(), 1)
+    assert t < (1 << 30), "prefix compaction id space exceeds the int32 key"
+    key = (jnp.where(valid_tri, 0, 1 << vbits)
+           + jnp.arange(t, dtype=jnp.int32))
+    cids = jax.lax.sort(key, is_stable=False) & ((1 << vbits) - 1)
+
+    lane_pad = (-rows.shape[1]) % 128
+
+    def make_branch(c_n):
+        def branch(_):
+            ids = jax.lax.slice(cids, (0,), (c_n,))
+            flat_tile = tile[ids].reshape(-1)
+            flat_tri = jnp.broadcast_to(ids[:, None],
+                                        (c_n, e_max)).reshape(-1)
+            sorted_tri, start = _packed_sort(flat_tile, flat_tri, t, n_tiles)
+            counts = (start[1:] - start[:-1]).astype(jnp.int32)
+            # pin pad entries' gather addresses (see _bin)
+            eidx = jnp.arange(sorted_tri.shape[0], dtype=jnp.int32)
+            spread = 256 if t >= 256 else 1
+            sorted_tri = jnp.where(eidx < start[n_tiles], sorted_tri,
+                                   eidx & (spread - 1))
+            sorted_rows = rows[sorted_tri]
+            sorted_rows = jnp.pad(sorted_rows, ((0, chunk), (0, lane_pad)))
+            return run(sorted_rows, start[:n_tiles], counts)
+        return branch
+
+    sizes = sorted({min(t, -(-(t * num) // den)) for num, den in COMPACT_RUNGS}
+                   | {t})
+    sizes = [c for c in sizes if c > 0]
+    if len(sizes) == 1:
+        return make_branch(sizes[0])(None), big
+    idx = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_valid,
+                           side="left")
+    return (jax.lax.switch(idx, [make_branch(c) for c in sizes], None), big)
+
+
 # entries processed per kernel loop iteration: per-entry scalar reads and
 # loop control dominated the sequential kernel (tile-height sweeps showed
 # ~2/3 fixed cost per entry), so entries are batched into sublane groups and
@@ -566,10 +637,10 @@ def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
     return vis, attr[:, :height, :width], sdepth[:, :height, :width]
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 9))
 def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
                                cull=raster.CULL_BACK, e_max=9, chunk=256,
-                               nocull=None):
+                               nocull=None, compact=True):
     """4x-MSAA raster: center visibility + attributes like
     rasterize_attrs_tiled, PLUS per-sample depth [4, H, W] at the standard
     rotated-grid offsets. A sample is covered iff its depth < 1.0.
@@ -582,10 +653,18 @@ def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
     s["tris_v"] = tris
     s["va"] = g[..., 4:]
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
-    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
-                                            chunk)
-    vis, attr, sdepth = _run_kernel_ms(sorted_rows, starts, counts, width,
-                                       height, attrs.shape[1], chunk)
+    if compact and tris.shape[0] >= COMPACT_MIN_T:
+        def run(sorted_rows, starts, counts):
+            return _run_kernel_ms(sorted_rows, starts, counts, width,
+                                  height, attrs.shape[1], chunk)
+        (vis, attr, sdepth), big = _bin_prefix(s, rows, width, height,
+                                               e_max, chunk, run)
+    else:
+        sorted_rows, starts, counts, big = _bin(s, rows, width, height,
+                                                e_max, chunk)
+        vis, attr, sdepth = _run_kernel_ms(sorted_rows, starts, counts,
+                                           width, height, attrs.shape[1],
+                                           chunk)
     if not _covers_all(e_max, width, height):
         vis0 = vis
         vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
@@ -869,17 +948,23 @@ def rasterize_depth_tiled_window(clip, tris, width, height,
     return jax.lax.cond(jnp.any(big), merge, lambda d: d, depth)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 8))
 def rasterize_depth_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
-                          e_max=9, chunk=256, nocull=None):
+                          e_max=9, chunk=256, nocull=None, compact=True):
     """Depth-only binned rasterization (shadow maps): returns [H, W] depth
     with the same z-test semantics as rasterize_tiled().depth."""
     s = raster.setup(clip, tris, width, height, cull, nocull=nocull)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
-    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
-                                            chunk)
-    depth = _run_depth_kernel(sorted_rows, starts, counts, width, height,
-                              chunk)
+    if compact and tris.shape[0] >= COMPACT_MIN_T:
+        def run(sorted_rows, starts, counts):
+            return _run_depth_kernel(sorted_rows, starts, counts, width,
+                                     height, chunk)
+        depth, big = _bin_prefix(s, rows, width, height, e_max, chunk, run)
+    else:
+        sorted_rows, starts, counts, big = _bin(s, rows, width, height,
+                                                e_max, chunk)
+        depth = _run_depth_kernel(sorted_rows, starts, counts, width,
+                                  height, chunk)
     if _covers_all(e_max, width, height):
         return depth
 
@@ -1005,34 +1090,42 @@ def _merge_big(vis, attr, clip, tris, width, height, s, big, attrs):
     return jax.lax.cond(any_big, merge, lambda a: a, (vis, attr))
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
-                    e_max=9, chunk=256) -> raster.VisBuffer:
+                    e_max=9, chunk=256, compact=True) -> raster.VisBuffer:
     """Binned-tile rasterization; semantics match raster.rasterize.
 
     `chunk` is the VMEM streaming unit, not a capacity: tiles with any
     number of entries render exactly."""
     s = raster.setup(clip, tris, width, height, cull)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
-    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
-                                            chunk)
-    vis, _ = _run_kernel(sorted_rows, starts, counts, width, height, 0,
-                         chunk)
+    if compact and tris.shape[0] >= COMPACT_MIN_T:
+        def run(sorted_rows, starts, counts):
+            return _run_kernel(sorted_rows, starts, counts, width, height,
+                               0, chunk)
+        (vis, _), big = _bin_prefix(s, rows, width, height, e_max, chunk,
+                                    run)
+    else:
+        sorted_rows, starts, counts, big = _bin(s, rows, width, height,
+                                                e_max, chunk)
+        vis, _ = _run_kernel(sorted_rows, starts, counts, width, height, 0,
+                             chunk)
     if not _covers_all(e_max, width, height):
         vis, _ = _merge_big(vis, jnp.zeros((1, height, width), jnp.float32),
                             clip, tris, width, height, s, big, None)
     return vis
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 9))
 def rasterize_attrs_tiled(clip, tris, attrs, width, height,
                           cull=raster.CULL_BACK, e_max=9, chunk=256,
-                          nocull=None):
+                          nocull=None, compact=True):
     """Raster + in-kernel perspective-correct attribute interpolation.
 
     attrs: [V, A] per-vertex attributes. Returns (VisBuffer,
     attr_img [H, W, A]) with zeros on empty pixels. `nocull` [T] exempts
-    double-sided triangles from face culling."""
+    double-sided triangles from face culling. `compact` enables validity-
+    compacted prefix binning (_bin_prefix) — keep it False under vmap."""
     # fuse the clip and attribute vertex gathers into one [T,3,4+A] gather
     g = jnp.concatenate([clip, attrs], -1)[tris]
     s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4],
@@ -1040,10 +1133,17 @@ def rasterize_attrs_tiled(clip, tris, attrs, width, height,
     s["tris_v"] = tris
     s["va"] = g[..., 4:]
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
-    sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
-                                            chunk)
-    vis, attr = _run_kernel(sorted_rows, starts, counts, width, height,
-                            attrs.shape[1], chunk)
+    if compact and tris.shape[0] >= COMPACT_MIN_T:
+        def run(sorted_rows, starts, counts):
+            return _run_kernel(sorted_rows, starts, counts, width, height,
+                               attrs.shape[1], chunk)
+        (vis, attr), big = _bin_prefix(s, rows, width, height, e_max, chunk,
+                                       run)
+    else:
+        sorted_rows, starts, counts, big = _bin(s, rows, width, height,
+                                                e_max, chunk)
+        vis, attr = _run_kernel(sorted_rows, starts, counts, width, height,
+                                attrs.shape[1], chunk)
     if not _covers_all(e_max, width, height):
         vis, attr = _merge_big(vis, attr, clip, tris, width, height, s, big,
                                attrs)

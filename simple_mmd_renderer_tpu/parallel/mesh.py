@@ -85,6 +85,17 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None):
             return state, images
         return step
 
+    # vmap fallback: disable prefix-compacted binning — its lax.switch
+    # batches to an all-rungs select under vmap, running every ladder
+    # branch for every instance
+    if scene.config.render.compact_bin:
+        import copy
+        import dataclasses
+        scene = copy.copy(scene)
+        scene.config = dataclasses.replace(
+            scene.config,
+            render=dataclasses.replace(scene.config.render,
+                                       compact_bin=False))
     return jax.vmap(partial(scene.step_and_render, width=width,
                             height=height))
 

@@ -142,7 +142,7 @@ def _pick_raster(cfg, n_tris):
 
 
 def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None,
-                window=False):
+                window=False, compact=True):
     """Depth-only character raster from the light (front-cull,
     main.cpp:942)."""
     raster_fn = raster_fn or raster.rasterize
@@ -161,7 +161,8 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None,
                                                 256, 32)
         return rasterize_depth_tiled(clip, tris_flipped, size, size,
                                      raster.CULL_FRONT,
-                                     _tiled_e_max(size, size), 256)
+                                     _tiled_e_max(size, size), 256,
+                                     compact=compact)
     vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
     return vis.depth
 
@@ -855,7 +856,7 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     if cfg.shadows_enabled:
         shadow_map = shadow_pass(verts_m, tris, mats["light_mvp"],
                                  cfg.shadow_map_size, raster_fn,
-                                 cfg.shadow_window)
+                                 cfg.shadow_window, compact=cfg.compact_bin)
     else:
         shadow_map = jnp.ones((1, 1), jnp.float32)
 
@@ -919,7 +920,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             from ..ops.tiled_raster import rasterize_tiled
             vis_e = rasterize_tiled(clip_e, etris, width, height,
                                     raster.CULL_FRONT,
-                                    _tiled_e_max(width, height), 256)
+                                    _tiled_e_max(width, height), 256,
+                                    cfg.compact_bin)
         pid_e = jnp.asarray(static.edge_tri_part)[jnp.maximum(vis_e.tri, 0)]
         edge_color_px = jnp.asarray(static.edge_colors)[pid_e][..., :3]
         edge_mask = (vis_e.tri >= 0) & (vis_e.depth <= ground_depth)
@@ -960,13 +962,13 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         from ..ops.tiled_raster import rasterize_attrs_tiled_msaa
         vis, attr_px, sdepth = rasterize_attrs_tiled_msaa(
             clip, tris, attrs, width, height, raster.CULL_BACK,
-            _tiled_e_max(width, height), 256, nocull)
+            _tiled_e_max(width, height), 256, nocull, cfg.compact_bin)
     else:
         from ..ops.tiled_raster import rasterize_attrs_tiled
         vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
                                              height, raster.CULL_BACK,
                                              _tiled_e_max(width, height), 256,
-                                             nocull)
+                                             nocull, cfg.compact_bin)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],
