@@ -477,3 +477,41 @@ def test_crowd_big_triangle_fallback():
     np.testing.assert_allclose(np.asarray(vis_m.depth[1]),
                                np.asarray(ref_vis.depth), atol=2e-5)
     assert (np.asarray(sdepth[1]) < 1.0).all()  # all samples hit
+
+
+def test_prefix_compaction_bit_exact():
+    """Validity-compacted prefix binning (_bin_prefix: one id sort + a
+    lax.switch over static prefix rungs) must be BIT-exact vs the
+    uncompacted bin on every single-instance entry point — same kernel,
+    same rows, only fewer pad slots. Covers the mid rung (random culled
+    fraction), the smallest rung (mostly offscreen) and the full-T rung
+    (nothing culled)."""
+    import jax
+
+    rng = np.random.default_rng(47)
+    w, h = 256, 160
+    t = tiled_raster.COMPACT_MIN_T + 500
+
+    def variants():
+        clip, tris = _random_mesh(rng, t=t, size=0.12)
+        yield clip, tris, raster.CULL_BACK      # ~half culled -> mid rung
+        yield clip, tris, raster.CULL_NONE      # all valid -> full rung
+        c = np.array(clip)
+        c[: 3 * (t - 64), 0] += 10.0            # mostly offscreen -> rung 0
+        yield jnp.asarray(c), tris, raster.CULL_NONE
+
+    for clip, tris, cull in variants():
+        attrs = jnp.asarray(
+            rng.uniform(0, 1, (clip.shape[0], 3)).astype(np.float32))
+        for fn in (
+            lambda c: tiled_raster.rasterize_attrs_tiled(
+                clip, tris, attrs, w, h, cull, compact=c),
+            lambda c: tiled_raster.rasterize_depth_tiled(
+                clip, tris, w, h, cull, compact=c),
+            lambda c: tiled_raster.rasterize_attrs_tiled_msaa(
+                clip, tris, attrs, w, h, cull, compact=c),
+        ):
+            got = jax.tree.leaves(fn(True))
+            ref = jax.tree.leaves(fn(False))
+            for a, b in zip(got, ref):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
