@@ -176,6 +176,10 @@ def main(argv=None):
     ap.add_argument("--gif", default=None, help="write an animated GIF")
     ap.add_argument("--use-camera", action="store_true",
                     help="drive the camera from the VMD camera track")
+    ap.add_argument("--use-light", action="store_true",
+                    help="drive the directional light from the VMD light "
+                         "track (beyond-parity: the reference declares "
+                         "LightMotionReader but never implements it)")
     ap.add_argument("--watch", action="store_true",
                     help="live ANSI preview in the terminal while rendering "
                          "(the headless stand-in for the reference's window)")
@@ -277,6 +281,11 @@ def main(argv=None):
         from ..render.camera_anim import bind_camera
         camera = bind_camera(motion.camera)
         print("camera driven by VMD camera track")
+    light = None
+    if args.use_light and motion is not None and motion.light is not None:
+        from ..render.camera_anim import bind_light
+        light = bind_light(motion.light)
+        print("light driven by VMD light track")
     mmd_maps = None
     if args.mmd_shading:
         from ..formats.textures import load_sphere_maps, load_toon_ramps
@@ -284,7 +293,8 @@ def main(argv=None):
         mmd_maps = (sph, modes, load_toon_ramps(static, model_dir))
         print("MMD extended shading: toon ramps + sphere maps")
     scene = Scene(static, ps, mo, cfg, part_textures=part_textures,
-                  cubemap=cubemap, camera=camera, mmd_maps=mmd_maps)
+                  cubemap=cubemap, camera=camera, light=light,
+                  mmd_maps=mmd_maps)
     state = scene.init_state()
     # --watch on a tty gets the live orbit camera (keyboard counterpart of
     # the reference's mouse controller); the camera rides the jitted step

@@ -45,6 +45,9 @@ class Scene:
     part_textures: list | None = None
     cubemap: jnp.ndarray | None = None
     camera: object | None = None  # render.camera_anim.CameraArrays
+    # render.camera_anim.LightArrays — VMD light track (the capability the
+    # reference's light_motion_reader.inl declares but never implements)
+    light: object | None = None
     # (sphere_textures, sphere_modes, toon_ramps) from
     # formats.textures.load_sphere_maps/load_toon_ramps — enables the
     # beyond-parity MMD toon/SPH/SPA shading path when set
@@ -172,6 +175,16 @@ class Scene:
                 camera_target=cam["target"] * scale,
                 camera_fov_deg=cam["fov_deg"],
                 camera_orthographic=cam["ortho"])
+        if self.light is not None:
+            # VMD light track: keys lerp linearly; the sampled direction
+            # also drives the shadow frustum (all consumers take traced
+            # arrays, so animated light never recompiles)
+            import dataclasses
+
+            from ..render.camera_anim import sample_light
+            li = sample_light(self.light, state.time * self.config.fps)
+            rcfg = dataclasses.replace(
+                rcfg, light_color=li["color"], light_direction=li["direction"])
         uv_off, part_color = None, None
         if self.config.apply_extended_morphs and self.static.n_morphs:
             if len(self.static.um_morph) and self.part_textures is not None:

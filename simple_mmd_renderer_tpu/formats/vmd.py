@@ -44,6 +44,12 @@ _CAMERA_DT = np.dtype([
     ("orthographic", "u1"),
 ])
 
+_LIGHT_DT = np.dtype([
+    ("frame", "<u4"),
+    ("color", "<f4", 3),
+    ("direction", "<f4", 3),
+])
+
 
 @dataclass
 class BoneTrack:
@@ -76,11 +82,26 @@ class CameraTrack:
 
 
 @dataclass
+class LightTrack:
+    """VMD directional-light keyframes (section after the camera track).
+
+    The reference declares `LightMotionReader` but never implements it
+    (`reader/light_motion_reader.inl:14-16` is an empty interface with the
+    one virtual commented out); this completes that declared capability.
+    MMD interpolates light keys linearly (the records carry no Bezier
+    bytes)."""
+    frames: np.ndarray      # [K] int64, ascending
+    colors: np.ndarray      # [K,3] f32 rgb
+    directions: np.ndarray  # [K,3] f32 (direction the light travels)
+
+
+@dataclass
 class VmdMotion:
     name: str = ""
     bone_tracks: dict[str, BoneTrack] = field(default_factory=dict)
     morph_tracks: dict[str, MorphTrack] = field(default_factory=dict)
     camera: CameraTrack | None = None
+    light: LightTrack | None = None
 
     @property
     def length(self) -> int:
@@ -164,7 +185,9 @@ def parse_vmd(data: bytes) -> VmdMotion:
     # camera section (optional tail)
     if len(data) - pos >= 4:
         n_cam = int(np.frombuffer(data, "<u4", 1, pos)[0]); pos += 4
-        if n_cam and len(data) - pos >= _CAMERA_DT.itemsize * n_cam:
+        if n_cam and len(data) - pos < _CAMERA_DT.itemsize * n_cam:
+            return motion  # truncated tail — keep what parsed
+        if n_cam:
             cam = np.frombuffer(data, _CAMERA_DT, n_cam, pos)
             order = np.argsort(cam["frame"], kind="stable")
             cam = cam[order]
@@ -176,6 +199,19 @@ def parse_vmd(data: bytes) -> VmdMotion:
                 fovs=cam["fov"].copy(),
                 orthographic=cam["orthographic"].astype(bool),
                 interp=cam["interp"].copy())
+        pos += _CAMERA_DT.itemsize * n_cam
+
+    # light section (optional tail after camera; reference stops at camera —
+    # `VmdReader::ReadCameraMotion` never reads further)
+    if len(data) - pos >= 4:
+        n_light = int(np.frombuffer(data, "<u4", 1, pos)[0]); pos += 4
+        if n_light and len(data) - pos >= _LIGHT_DT.itemsize * n_light:
+            rec = np.frombuffer(data, _LIGHT_DT, n_light, pos)
+            rec = rec[np.argsort(rec["frame"], kind="stable")]
+            motion.light = LightTrack(
+                frames=rec["frame"].astype(np.int64),
+                colors=rec["color"].copy(),
+                directions=rec["direction"].copy())
     return motion
 
 

@@ -164,9 +164,12 @@ def write_pmx(m: P.PmxModel, utf8: bool = True) -> bytes:
 def write_vmd(name: str,
               bone_keys: list[tuple[str, int, np.ndarray, np.ndarray, np.ndarray]],
               morph_keys: list[tuple[str, int, float]] = (),
-              camera_keys: list[dict] = ()) -> bytes:
+              camera_keys: list[dict] = (),
+              light_keys: list[dict] = ()) -> bytes:
     """bone_keys: (name, frame, trans[3], quat[4] xyzw, interp[4,4] int8 rows
-    (c0x,c0y,c1x,c1y) per channel x/y/z/r)."""
+    (c0x,c0y,c1x,c1y) per channel x/y/z/r).
+    light_keys: dicts with frame, color[3], direction[3] (the VMD light
+    section after the camera track)."""
     out = bytearray()
     w = out.extend
     w(MAGIC_PADDED)
@@ -193,6 +196,12 @@ def write_vmd(name: str,
         w(struct.pack("<3f", *ck.get("rotation", (0, 0, 0))))
         w(np.zeros(24, np.int8).tobytes())
         w(struct.pack("<fB", ck.get("fov", 30.0), 1 if ck.get("orthographic") else 0))
+    if light_keys:
+        w(struct.pack("<I", len(light_keys)))
+        for lk in light_keys:
+            w(struct.pack("<I", lk["frame"]))
+            w(struct.pack("<3f", *lk.get("color", (1.0, 1.0, 1.0))))
+            w(struct.pack("<3f", *lk.get("direction", (-0.5, -1.0, 0.5))))
     return bytes(out)
 
 

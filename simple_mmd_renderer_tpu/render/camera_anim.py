@@ -90,3 +90,45 @@ def sample_camera(cam: CameraArrays, frame):
     eye = target + m3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]) * dist)
     return dict(eye=eye, target=target, fov_deg=fov,
                 ortho=cam.ortho[left] > 0.5)
+
+
+@struct.dataclass
+class LightArrays:
+    """VMD light track packed for device sampling (see formats.vmd.LightTrack
+    — the capability the reference's `light_motion_reader.inl` declares but
+    never implements). Light keys carry no Bezier bytes; MMD lerps them."""
+    frames: jnp.ndarray      # [K] f32
+    colors: jnp.ndarray      # [K,3]
+    directions: jnp.ndarray  # [K,3]
+
+
+def bind_light(track) -> LightArrays:
+    return LightArrays(
+        frames=jnp.asarray(track.frames, jnp.float32),
+        colors=jnp.asarray(track.colors, jnp.float32),
+        directions=jnp.asarray(track.directions, jnp.float32))
+
+
+def sample_light(light: LightArrays, frame):
+    """-> dict(color [3], direction [3]) linearly interpolated at `frame`."""
+    frame = jnp.asarray(frame, jnp.float32)
+    k = light.frames.shape[0]
+    pos = jnp.searchsorted(light.frames, jnp.floor(frame), side="right")
+    right = jnp.clip(pos, 1, k - 1).astype(jnp.int32)
+    left = right - 1
+    fl, fr = light.frames[left], light.frames[right]
+    use_left = (light.frames[0] >= frame) | (light.frames[k - 1] <= frame) | (
+        fl == frame)
+    left = jnp.where(light.frames[0] >= frame, 0, left)
+    left = jnp.where(light.frames[k - 1] <= frame, k - 1, left)
+    t = jnp.clip((frame - fl) / jnp.maximum(fr - fl, 1.0), 0.0, 1.0)
+
+    def ch(vals):
+        lo, hi = vals[left], vals[right]
+        return jnp.where(use_left, lo, lo * (1.0 - t) + hi * t)
+
+    direction = ch(light.directions)
+    norm = jnp.linalg.norm(direction)
+    direction = jnp.where(norm > 1e-6, direction / jnp.maximum(norm, 1e-6),
+                          jnp.asarray([0.0, -1.0, 0.0], jnp.float32))
+    return dict(color=ch(light.colors), direction=direction)

@@ -140,3 +140,43 @@ def test_native_loader_matches_python():
     np.testing.assert_array_equal(a.skin_weights, b.skin_weights)
     np.testing.assert_array_equal(a.skin_type, b.skin_type)
     np.testing.assert_array_equal(a.sdef_c, b.sdef_c)
+
+
+def test_vmd_light_track_roundtrip_and_sampling():
+    """VMD light section (after camera): parse + device-side linear lerp.
+    The reference declares LightMotionReader but never implements it
+    (light_motion_reader.inl:14-16) — this is the beyond-parity path."""
+    data = write_vmd(
+        "light",
+        bone_keys=[("センター", 0, np.zeros(3), np.array([0, 0, 0, 1.0]),
+                    np.array([[20, 20, 107, 107]] * 4, np.int8))],
+        camera_keys=[{"frame": 0, "position": (0, 10, -20), "fov": 30.0}],
+        light_keys=[
+            {"frame": 0, "color": (1.0, 1.0, 1.0), "direction": (0, -1, 0)},
+            {"frame": 20, "color": (1.0, 0.0, 0.0), "direction": (1, -1, 0)},
+        ],
+    )
+    mo = V.parse_vmd(data)
+    assert mo.light is not None
+    np.testing.assert_array_equal(mo.light.frames, [0, 20])
+    np.testing.assert_allclose(mo.light.colors[1], [1, 0, 0])
+
+    from simple_mmd_renderer_tpu.render.camera_anim import (bind_light,
+                                                            sample_light)
+    la = bind_light(mo.light)
+    # midpoint lerps color; direction renormalizes
+    s = sample_light(la, 10.0)
+    np.testing.assert_allclose(np.asarray(s["color"]), [1.0, 0.5, 0.5],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(s["direction"])),
+                               1.0, atol=1e-6)
+    # clamps outside the key range
+    np.testing.assert_allclose(np.asarray(sample_light(la, -5.0)["color"]),
+                               [1, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sample_light(la, 99.0)["color"]),
+                               [1, 0, 0], atol=1e-6)
+    # light section is optional: older writers stop at camera
+    mo2 = V.parse_vmd(write_vmd("nolight", bone_keys=[
+        ("b", 0, np.zeros(3), np.array([0, 0, 0, 1.0]),
+         np.array([[20, 20, 107, 107]] * 4, np.int8))]))
+    assert mo2.light is None

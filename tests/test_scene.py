@@ -191,3 +191,44 @@ def test_orbit_rig_keys_and_camera_override():
     _, img2 = step(state, cam2)
     assert np.isfinite(np.asarray(img1)).all()
     assert np.abs(np.asarray(img1) - np.asarray(img2)).mean() > 1e-3
+
+
+def test_scene_with_light_track():
+    """Animated directional light (VMD light section): color/direction ride
+    the jitted step as traced samples — the capability the reference's
+    light_motion_reader.inl declares but never implements."""
+    import dataclasses
+
+    from simple_mmd_renderer_tpu.formats import vmd as V
+    from simple_mmd_renderer_tpu.formats.writers import write_vmd
+    from simple_mmd_renderer_tpu.render.camera_anim import bind_light
+    # rim off: the flat-white sample character (albedo=1) otherwise clips
+    # every channel at 1.0 (0.9 base + rim), which would erase the tint;
+    # light from the camera side so visible normals get ndotl > 0
+    direction = (0.3, -0.4, 1.0)
+    scene = _scene()
+    scene.config.render = dataclasses.replace(
+        scene.config.render, rim_intensity=0.0, light_direction=direction)
+    data = write_vmd("li", [], [], light_keys=[
+        {"frame": 0, "color": (1, 1, 1), "direction": direction},
+        {"frame": 6, "color": (1, 0, 0), "direction": direction}])
+    scene.light = bind_light(V.parse_vmd(data).light)
+    control = _scene()  # identical scene, no light track
+    control.config.render = dataclasses.replace(
+        control.config.render, rim_intensity=0.0, light_direction=direction)
+    state, cstate = scene.init_state(), control.init_state()
+    step = scene.jit_step(render=True, donate=False)
+    cstep = control.jit_step(render=True, donate=False)
+    for _ in range(8):
+        state, img = step(state)
+        cstate, cimg = cstep(cstate)
+    img, cimg = np.asarray(img), np.asarray(cimg)
+    assert np.isfinite(img).all()
+    # by frame 8 the track is fully red at a new direction; the animation is
+    # identical in both scenes so any difference is the animated light
+    assert np.abs(img - cimg).max() > 1e-3
+    # red light: some character pixel gains red over green (diffuse term is
+    # light_color * 0.25 * ndotl, main.glsl:108-113) vs the white control
+    rg = img[..., 0] - img[..., 1]
+    crg = cimg[..., 0] - cimg[..., 1]
+    assert rg.max() > crg.max() + 1e-6
