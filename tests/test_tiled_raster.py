@@ -484,8 +484,11 @@ def test_prefix_compaction_bit_exact():
     lax.switch over static prefix rungs) must be BIT-exact vs the
     uncompacted bin on every single-instance entry point — same kernel,
     same rows, only fewer pad slots. Covers the mid rung (random culled
-    fraction), the smallest rung (mostly offscreen) and the full-T rung
-    (nothing culled)."""
+    fraction), the smallest rung (mostly offscreen), the full-T rung
+    (nothing culled), and both multis-window rungs of the two-level bin
+    (tiny all-single triangles vs large mostly-multi triangles, including
+    the spillover-duplicate case where the singles prefix overlaps
+    multis)."""
     import jax
 
     rng = np.random.default_rng(47)
@@ -499,6 +502,13 @@ def test_prefix_compaction_bit_exact():
         c = np.array(clip)
         c[: 3 * (t - 64), 0] += 10.0            # mostly offscreen -> rung 0
         yield jnp.asarray(c), tris, raster.CULL_NONE
+        # tiny triangles: every valid one covers ONE tile (multis rung 0)
+        clip2, tris2 = _random_mesh(rng, t=t, size=0.01)
+        yield clip2, tris2, raster.CULL_BACK
+        # large triangles: most cover many tiles (multis past the first
+        # rung -> full-T multis window; also exercises the big-tri merge)
+        clip3, tris3 = _random_mesh(rng, t=t, size=0.45)
+        yield clip3, tris3, raster.CULL_BACK
 
     for clip, tris, cull in variants():
         attrs = jnp.asarray(
