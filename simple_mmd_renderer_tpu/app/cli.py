@@ -96,11 +96,21 @@ KEY_HELP = "[arrows] orbit  [+/-] zoom  [wasdqe] fly  [r] reset  [x] quit"
 
 
 def apply_keys(rig: OrbitRig, data: bytes) -> bool:
-    """Apply pending key bytes to the rig; returns True on quit."""
+    """Apply pending key bytes to the rig; returns True on quit.
+
+    An arrow key is 3 bytes (ESC [ X) and the poll boundary can split it;
+    an incomplete trailing escape is stashed on the rig and prepended to
+    the next call so fast key repeat never drops orbit presses."""
+    data = getattr(rig, "_pending_keys", b"") + data
+    rig._pending_keys = b""
     quit_ = False
     i = 0
     while i < len(data):
         c = data[i:i + 1]
+        if c == b"\x1b" and len(data) - i < 3 \
+                and data[i + 1:i + 2] in (b"", b"["):
+            rig._pending_keys = data[i:]   # split escape — finish next poll
+            break
         if c == b"\x1b" and data[i + 1:i + 2] == b"[":
             k = data[i + 2:i + 3]
             i += 3

@@ -113,17 +113,21 @@ class Scene:
         physics re-seeds from the animation pose at the new time exactly
         like the reference's Reset (`mmd-bullet_impl.inl:285-310`), so
         hair/skirts do not integrate through the time discontinuity."""
+        # compile once per Scene: an interactive scrub calls seek per drag
+        # tick, and a fresh jit closure each call would re-trace every time
+        fn = getattr(self, "_seek_jit", None)
+        if fn is None:
+            @jax.jit
+            def fn(t):
+                anim_rot, anim_trans, rates = self._sample_anim(t)
+                pose = pose_mod.pre_physics_posing(self.static, anim_rot,
+                                                   anim_trans, rates)
+                return SimState(
+                    time=t,
+                    physics=phys_mod.physics_reset(self.phys_static, pose))
+            object.__setattr__(self, "_seek_jit", fn)
 
-        @jax.jit
-        def _seek(t):
-            anim_rot, anim_trans, rates = self._sample_anim(t)
-            pose = pose_mod.pre_physics_posing(self.static, anim_rot,
-                                               anim_trans, rates)
-            return SimState(
-                time=t,
-                physics=phys_mod.physics_reset(self.phys_static, pose))
-
-        return _seek(jnp.float32(t))
+        return fn(jnp.float32(t))
 
     def step_pose(self, state: SimState):
         """One animation+physics frame -> (state', pose, positions, normals).

@@ -53,7 +53,8 @@ def crowd_init(scene: Scene, n: int, phase_frames: float = 7.0) -> SimState:
     return state.replace(time=times)
 
 
-def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None):
+def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
+                  atlas_arg: bool = False):
     """Per-frame crowd function over the instance axis.
 
     When the config allows it, rendering goes through the FUSED
@@ -77,27 +78,34 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None):
             and crowd_render_supported(
                 scene.config.render, scene.part_textures, scene.cubemap,
                 scene.camera):
-        def step(state):
+        def step(state, atlas=None):
             state, pose, positions, normals = jax.vmap(scene.step_pose)(state)
             images = crowd_render_frame(scene.static, positions, normals,
                                         scene.config.render, width, height,
-                                        part_textures=scene.part_textures)
+                                        part_textures=scene.part_textures,
+                                        atlas=atlas)
             return state, images
-        return step
+        return step if atlas_arg else (lambda state: step(state))
 
-    # vmap fallback: disable prefix-compacted binning — its lax.switch
-    # batches to an all-rungs select under vmap, running every ladder
-    # branch for every instance
-    if scene.config.render.compact_bin:
+    # vmap fallback: disable prefix-compacted binning AND bbox-windowed
+    # albedo — both select their static-size branch with lax.switch on a
+    # per-instance value, which batches under vmap to an all-branches
+    # select (every ladder rung / window size runs for every instance)
+    if scene.config.render.compact_bin or scene.config.render.albedo_window:
         import copy
         import dataclasses
         scene = copy.copy(scene)
         scene.config = dataclasses.replace(
             scene.config,
             render=dataclasses.replace(scene.config.render,
-                                       compact_bin=False))
-    return jax.vmap(partial(scene.step_and_render, width=width,
-                            height=height))
+                                       compact_bin=False,
+                                       albedo_window=False))
+    base = partial(scene.step_and_render, width=width, height=height)
+    if atlas_arg:
+        def step_fb(state, atlas=None):
+            return jax.vmap(lambda s: base(s, atlas=atlas))(state)
+        return step_fb
+    return jax.vmap(base)
 
 
 def shard_crowd(state: SimState, mesh: Mesh, axis: str = "data") -> SimState:
@@ -158,16 +166,20 @@ def frame_jit(scene: Scene, mesh: Mesh, width=None, height=None,
         scene.config, render=dataclasses.replace(
             scene.config.render, shadow_lookup_downsample=1)))
 
-    def fn(state):
+    # the packed atlas rides jit as an ARGUMENT (replicated), not a
+    # closed-over constant — see Scene.packed_atlas (HTTP 413 on large
+    # atlases baked into the lowering)
+    def fn(state, atl):
         band = band_transform(n, jax.lax.axis_index(axis))
         state, image = scene.step_and_render(
-            state, width=W, height=H // n, atlas=atlas,
+            state, width=W, height=H // n, atlas=atl,
             proj_transform=band, aspect=W / H)
         return state, image
 
-    sharded = _shard_map(fn, mesh=mesh, in_specs=(P(),),
+    sharded = _shard_map(fn, mesh=mesh, in_specs=(P(), P()),
                          out_specs=(P(), P(axis)))
-    return jax.jit(sharded)
+    jfn = jax.jit(sharded)
+    return lambda state: jfn(state, atlas)
 
 
 def crowd_jit(scene: Scene, mesh: Mesh, render: bool = True, width=None,
@@ -177,7 +189,18 @@ def crowd_jit(scene: Scene, mesh: Mesh, render: bool = True, width=None,
     global sort and kernel launch — runs on its device-local instance
     shard, so XLA inserts no collectives on the hot path (the instance
     batch is embarrassingly parallel; ICI carries nothing per frame)."""
-    fn = crowd_step_fn(scene, render=render, width=width, height=height)
-    sharded = _shard_map(fn, mesh=mesh, in_specs=(P(axis),),
+    atlas = scene.packed_atlas() if render else None
+    if atlas is None:
+        fn = crowd_step_fn(scene, render=render, width=width, height=height)
+        sharded = _shard_map(fn, mesh=mesh, in_specs=(P(axis),),
+                             out_specs=P(axis))
+        return jax.jit(sharded)
+    # textured: the packed atlas rides jit as an ARGUMENT (replicated over
+    # the mesh), not a closed-over constant — large atlases baked into the
+    # lowering blow up remote compilation (see Scene.packed_atlas)
+    fn = crowd_step_fn(scene, render=render, width=width, height=height,
+                       atlas_arg=True)
+    sharded = _shard_map(fn, mesh=mesh, in_specs=(P(axis), P()),
                          out_specs=P(axis))
-    return jax.jit(sharded)
+    jfn = jax.jit(sharded)
+    return lambda state: jfn(state, atlas)

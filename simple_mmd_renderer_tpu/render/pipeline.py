@@ -447,10 +447,20 @@ def build_resident_atlas(atlas, need_level, slot):
     hd, wd, lanes = data.shape
     slot = min(int(slot), hd, wd)   # small atlases: window within bounds
     metas = np.asarray(atlas.mip_meta, np.int64)      # [P,L,4] oy,ox,h,w
-    fit = np.array([next(lv for lv in range(L)
-                         if metas[p, lv, 2] <= slot
-                         and metas[p, lv, 3] <= slot)
-                    for p in range(P)], np.int32)
+    fit_l = [next((lv for lv in range(L)
+                   if metas[p, lv, 2] <= slot
+                   and metas[p, lv, 3] <= slot), None)
+             for p in range(P)]
+    if any(f is None for f in fit_l):
+        bad = [p for p, f in enumerate(fit_l) if f is None]
+        raise ValueError(
+            f"texture_resident: parts {bad} have no mip level that fits "
+            f"the {slot}px resident slot — raise RenderConfig.texture_mips "
+            f"so every part's chain reaches <= {slot}px (largest texture "
+            f"{int(metas[:, 0, 2:].max())}px needs "
+            f">= {int(np.ceil(np.log2(metas[:, 0, 2:].max() / slot))) + 1} "
+            f"levels)")
+    fit = np.array(fit_l, np.int32)
     slices, offs, szs = [], [], []
     for p in range(P):
         rl = jnp.clip(jnp.maximum(need_level[p], fit[p]), 0, L - 1)

@@ -222,3 +222,47 @@ def test_frame_banded_over_mesh_matches_single_tiled_textured():
     scene.part_textures = sample_textures(sizes=(32, 16))
     mesh = par.make_mesh(jax.devices()[:4])
     _assert_banded_matches_full(scene, mesh, 4)
+
+
+def test_crowd_jit_textured_atlas_rides_as_argument():
+    """crowd_jit with per-part textures must pass the packed atlas through
+    jit as an ARGUMENT (replicated over the mesh), not bake it into the
+    lowering as a constant (Scene.packed_atlas: large atlases baked as
+    constants blow up remote compilation). Covers both the fused path and
+    the vmap fallback (skybox forces it)."""
+    import dataclasses
+    from simple_mmd_renderer_tpu.app.sample import sample_textures
+
+    assert len(jax.devices()) >= 4
+    mesh = par.make_mesh(jax.devices()[:4])
+    scene = _tiny_scene(render_size=32)
+    scene.config.render = dataclasses.replace(
+        scene.config.render, raster_mode="tiled", width=32, height=32)
+    scene.part_textures = sample_textures(sizes=(16, 8))
+
+    from simple_mmd_renderer_tpu.render.pipeline import crowd_render_supported
+    assert crowd_render_supported(scene.config.render, scene.part_textures)
+    n = 8
+    crowd = par.shard_crowd(par.crowd_init(scene, n), mesh)
+    step = par.crowd_jit(scene, mesh, render=True, width=32, height=32)
+    _, images = step(crowd)
+    assert images.shape == (n, 32, 32, 3)
+    assert len(images.sharding.device_set) == 4
+    assert np.isfinite(np.asarray(images)).all()
+
+    # vmap fallback branch (show_skybox unsupported by the fused path)
+    scene_fb = _tiny_scene(render_size=32)
+    scene_fb.config.render = dataclasses.replace(
+        scene_fb.config.render, raster_mode="tiled", width=32, height=32,
+        show_skybox=True)
+    import jax.numpy as jnp_
+    scene_fb.cubemap = jnp_.ones((6, 8, 8, 3), jnp_.float32) * 0.25
+    scene_fb.part_textures = sample_textures(sizes=(16, 8))
+    assert not crowd_render_supported(scene_fb.config.render,
+                                      scene_fb.part_textures,
+                                      scene_fb.cubemap)
+    crowd_fb = par.shard_crowd(par.crowd_init(scene_fb, n), mesh)
+    step_fb = par.crowd_jit(scene_fb, mesh, render=True, width=32, height=32)
+    _, images_fb = step_fb(crowd_fb)
+    assert images_fb.shape == (n, 32, 32, 3)
+    assert np.isfinite(np.asarray(images_fb)).all()

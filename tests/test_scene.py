@@ -232,3 +232,41 @@ def test_scene_with_light_track():
     rg = img[..., 0] - img[..., 1]
     crg = cimg[..., 0] - cimg[..., 1]
     assert rg.max() > crg.max() + 1e-6
+
+
+def test_apply_keys_split_escape_across_polls():
+    """An arrow key's 3-byte escape sequence split across two poll() reads
+    must still orbit (the incomplete tail is stashed and finished on the
+    next call), and a lone mid-stream ESC stays a no-op."""
+    from simple_mmd_renderer_tpu.app.cli import OrbitRig, apply_keys
+    from simple_mmd_renderer_tpu.config import RenderConfig as RC
+
+    rig = OrbitRig(RC())
+    whole = OrbitRig(RC())
+    assert not apply_keys(whole, b"\x1b[C")
+    # split after ESC
+    assert not apply_keys(rig, b"\x1b")
+    assert not apply_keys(rig, b"[C")
+    np.testing.assert_allclose(rig.eye, whole.eye, rtol=1e-6)
+    # split after ESC [
+    rig2 = OrbitRig(RC())
+    assert not apply_keys(rig2, b"\x1b[")
+    assert not apply_keys(rig2, b"C")
+    np.testing.assert_allclose(rig2.eye, whole.eye, rtol=1e-6)
+    # lone ESC mid-stream does not eat following keys
+    rig3 = OrbitRig(RC())
+    e0 = rig3.eye.copy()
+    assert not apply_keys(rig3, b"\x1bw")
+    assert not np.allclose(rig3.eye, e0)
+
+
+def test_seek_jit_is_cached_per_scene():
+    """Scene.seek compiles once per Scene: repeated scrubs reuse the same
+    jitted function instead of re-tracing per call."""
+    scene = _scene()
+    st = scene.init_state()
+    s1 = scene.seek(st, 0.5)
+    fn1 = scene._seek_jit
+    s2 = scene.seek(st, 1.25)
+    assert scene._seek_jit is fn1
+    assert float(s2.time) != float(s1.time)

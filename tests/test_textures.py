@@ -412,3 +412,21 @@ def test_resident_atlas_matches_level0_at_magnification():
     # per-triangle mips may pick coarser levels per triangle — close, not
     # equal
     assert np.abs(img_s - img_s0).mean() < 0.03
+
+
+def test_resident_atlas_rejects_too_shallow_mip_chain():
+    """build_resident_atlas: if a part has NO mip level that fits the
+    resident slot (texture_mips too shallow for the texture size), setup
+    must fail with an actionable ValueError instead of StopIteration at
+    trace time (sz_hw addressing would otherwise overrun the slot)."""
+    import jax.numpy as jnp
+    import pytest
+    from simple_mmd_renderer_tpu.app.sample import sample_textures
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        build_packed_atlas, build_resident_atlas)
+
+    textures = sample_textures(sizes=(64, 64))
+    atlas = build_packed_atlas(textures, mip_levels=2)  # levels 64 / 32 px
+    need = jnp.zeros((len(textures),), jnp.int32)
+    with pytest.raises(ValueError, match="texture_mips"):
+        build_resident_atlas(atlas, need, slot=16)
