@@ -430,3 +430,39 @@ def test_resident_atlas_rejects_too_shallow_mip_chain():
     need = jnp.zeros((len(textures),), jnp.int32)
     with pytest.raises(ValueError, match="texture_mips"):
         build_resident_atlas(atlas, need, slot=16)
+
+
+def test_atlas_argument_matches_traced_constant():
+    """Passing the PackedAtlas through jit as an argument must produce the
+    SAME image as letting the render trace it as a constant (the two paths
+    crowd_jit/frame_jit vs. direct render take)."""
+    import jax
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.app.sample import (sample_character,
+                                                    sample_textures)
+    from simple_mmd_renderer_tpu.config import RenderConfig
+    from simple_mmd_renderer_tpu.core import pose as PO
+    from simple_mmd_renderer_tpu.render.pipeline import (build_packed_atlas,
+                                                         render_frame)
+
+    pm = sample_character(density=0.3)
+    static = M.build_model(pm)
+    b = static.n_bones
+    rot = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (b, 4))
+    pose = PO.pre_physics_posing(
+        static, rot, jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((static.n_morphs,), jnp.float32))
+    pos, nrm = PO.deform(static, pose)
+    textures = sample_textures(sizes=(16, 8))
+    cfg = RenderConfig(width=160, height=120, shadow_map_size=64,
+                       show_skybox=False, raster_mode="tiled",
+                       shadows_enabled=False)
+    const_img = np.asarray(render_frame(static, pos, nrm, cfg,
+                                        part_textures=textures))
+    atlas = build_packed_atlas(textures)
+    arg_img = np.asarray(jax.jit(
+        lambda a: render_frame(static, pos, nrm, cfg,
+                               part_textures=textures, atlas=a))(atlas))
+    # constant-folding reorders some f32 arithmetic: equal to fusion
+    # rounding (measured max 6e-7), not bitwise
+    np.testing.assert_allclose(arg_img, const_img, atol=1e-5)
