@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 
-from ..utils.io import BinReader, decode_shift_jis
+from ..utils.io import BinReader, ParseError, decode_shift_jis
 from . import pmx as P
 
 F = np.float32
@@ -47,11 +47,13 @@ def _sjis(r: BinReader, n: int) -> str:
 
 
 def parse_pmd(data: bytes) -> P.PmxModel:
+    """Parse PMD 1.0 bytes. Raises utils.io.ParseError on malformed or
+    truncated input (same typed-error contract as `pmx.parse_pmx`)."""
     r = BinReader(data)
-    magic = r.read_bytes(3)
-    version = r.read("f")
+    magic = r.read_bytes(3, "magic")
+    version = r.read("f", "version")
     if magic != b"Pmd" or abs(version - 1.0) > 1e-6:
-        raise ValueError("not a PMD 1.0 file")
+        raise ParseError("not a PMD 1.0 file", 0, "header")
 
     m = P.PmxModel()
     m.extra_uv_count = 0
@@ -59,10 +61,10 @@ def parse_pmd(data: bytes) -> P.PmxModel:
     m.description = _sjis(r, 256)
 
     # --- vertices (fixed 38-byte records: bulk numpy)
-    n_vert = r.read("I")
+    n_vert = r.read("I", "vertex count")
     vdt = np.dtype([("pos", "<f4", 3), ("nrm", "<f4", 3), ("uv", "<f4", 2),
                     ("bones", "<i2", 2), ("weight", "u1"), ("non_edge", "u1")])
-    recs = r.read_array(vdt, n_vert)
+    recs = r.read_array(vdt, n_vert, "vertices")
     m.positions = recs["pos"].astype(F)
     m.normals = recs["nrm"].astype(F)
     m.uvs = recs["uv"].astype(F)
@@ -81,8 +83,15 @@ def parse_pmd(data: bytes) -> P.PmxModel:
     m.edge_scale = np.where(recs["non_edge"] > 0, 0.0, 1.0).astype(F)
 
     # --- triangles
-    n_index = r.read("I")
-    m.triangles = r.read_array(np.uint16, n_index).astype(np.int32).reshape(-1, 3)
+    n_index = r.read("I", "index count")
+    if n_index % 3 != 0:
+        raise ParseError(f"index count {n_index} not a multiple of 3",
+                         r.pos - 4, "index count")
+    tri_flat = r.read_array(np.uint16, n_index, "triangles").astype(np.int32)
+    if n_index and (n_vert == 0 or int(tri_flat.max()) >= n_vert):
+        raise ParseError(f"triangle index out of range [0, {n_vert})",
+                         r.pos, "triangles")
+    m.triangles = tri_flat.reshape(-1, 3)
 
     # --- materials
     n_mat = r.read("I")
@@ -254,12 +263,16 @@ def parse_pmd(data: bytes) -> P.PmxModel:
         b.transform_level = int(lv)
 
     # --- face morphs (all vertex morphs; non-base remap through the base)
-    n_face = r.read("H")
+    n_face = r.read("H", "face morph count")
     base_idx = -1
     faces = []
     for i in range(n_face):
         name = _sjis(r, 20)
-        vnum = r.read("I")
+        vnum = r.read("I", "face vertex count")
+        if vnum * 16 > r.remaining():  # 16 B/record; forged counts must not
+            raise ParseError(           # size a giant allocation below
+                f"face vertex count {vnum} exceeds the {r.remaining()} "
+                "bytes left", r.pos - 4, "face vertex count")
         ftype = r.read("B")
         idxs = np.empty(vnum, np.int32)
         offs = np.empty((vnum, 3), F)
@@ -271,7 +284,18 @@ def parse_pmd(data: bytes) -> P.PmxModel:
         faces.append((name, ftype, idxs, offs))
     for i, (name, ftype, idxs, offs) in enumerate(faces):
         if base_idx >= 0 and i != base_idx:
-            idxs = faces[base_idx][2][idxs]
+            base = faces[base_idx][2]
+            if idxs.size and (int(idxs.min()) < 0
+                              or int(idxs.max()) >= base.size):
+                raise ParseError(
+                    f"face morph '{name}' indexes outside the base morph "
+                    f"[0, {base.size})", None, "face morph")
+            idxs = base[idxs]
+        elif idxs.size and (int(idxs.min()) < 0
+                            or int(idxs.max()) >= n_vert):
+            raise ParseError(
+                f"face morph '{name}' vertex index out of range "
+                f"[0, {n_vert})", None, "face morph")
         m.morphs.append(P.Morph(name, "", ftype, P.MORPH_VERTEX,
                                 vertex_indices=idxs.astype(np.int32),
                                 vertex_offsets=offs))
@@ -327,7 +351,9 @@ def parse_pmd(data: bytes) -> P.PmxModel:
                 bone_ref = center_index if center_index >= 0 else 0
                 rb_type = P.RIGID_PHYSICS_GHOST
             # PMD body positions are relative to the bone (reader:506-510)
-            pos = m.bones[bone_ref].position + np.array(vals[3:6], F)
+            anchor = (m.bones[bone_ref].position if m.bones
+                      else np.zeros(3, F))
+            pos = anchor + np.array(vals[3:6], F)
             m.rigid_bodies.append(P.RigidBody(
                 name, "", bone_ref, group, mask, shape,
                 np.array(vals[0:3], F), pos, np.array(vals[6:9], F),

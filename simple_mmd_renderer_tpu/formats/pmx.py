@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..utils.io import BinReader
+from ..utils.io import BinReader, ParseError
 
 # Skinning types (PMX encoding)
 BDEF1, BDEF2, BDEF4, SDEF = 0, 1, 2, 3
@@ -208,28 +208,46 @@ def _norm_index(idx: int, count: int) -> int:
 
 
 def parse_pmx(data: bytes) -> PmxModel:
+    """Parse PMX 2.0 bytes. Raises utils.io.ParseError (a ValueError) on any
+    malformed/truncated/hostile input — counts are validated against the
+    bytes actually left BEFORE sizing allocations, index widths against
+    {1,2,4}, and triangle indices against the vertex count — so callers can
+    catch one typed error per load and keep running (the reference catches
+    reader exceptions per-load the same way, `main.cpp:692-698`)."""
     r = BinReader(data)
-    magic = r.read_bytes(4)
-    version = r.read("f")
-    flags_size = r.read("B")
+    magic = r.read_bytes(4, "magic")
+    version = r.read("f", "version")
+    flags_size = r.read("B", "flags size")
     if magic != b"PMX " or abs(version - 2.0) > 1e-6 or flags_size != 8:
-        raise ValueError("not a PMX 2.0 file")
+        raise ParseError("not a PMX 2.0 file", 0, "header")
 
-    utf8 = r.read("B") > 0
-    extra_uv = r.read("B")
-    sz_vert, sz_tex, sz_mat, sz_bone, sz_morph, sz_rigid = (r.read("B") for _ in range(6))
+    utf8 = r.read("B", "encoding") > 0
+    extra_uv = r.read("B", "extra uv count")
+    if extra_uv > 4:
+        raise ParseError(f"extra uv count {extra_uv} > 4", r.pos - 1,
+                         "extra uv count")
+    sz_vert, sz_tex, sz_mat, sz_bone, sz_morph, sz_rigid = (
+        r.read("B", "index size") for _ in range(6))
+    for label, sz in (("vertex", sz_vert), ("texture", sz_tex),
+                      ("material", sz_mat), ("bone", sz_bone),
+                      ("morph", sz_morph), ("rigid", sz_rigid)):
+        if sz not in (1, 2, 4):
+            raise ParseError(f"invalid {label} index size {sz} "
+                             "(must be 1/2/4)", r.pos - 6, "index sizes")
 
     m = PmxModel()
     m.extra_uv_count = extra_uv
-    m.name = r.read_text(utf8)
-    m.name_en = r.read_text(utf8)
-    m.description = r.read_text(utf8)
-    m.description_en = r.read_text(utf8)
+    m.name = r.read_text(utf8, "model name")
+    m.name_en = r.read_text(utf8, "model name (en)")
+    m.description = r.read_text(utf8, "description")
+    m.description_en = r.read_text(utf8, "description (en)")
 
     # --- vertices: variable-size records (skinning type selects layout).
     # Hot path is the native C++ parser (native/pmx_fast.cpp); the python
     # loop below is the fallback and the semantic reference.
-    n_vert = r.read("i")
+    # Min record: 8f basic + extra UVs + type byte + 1 bone index + edge f.
+    n_vert = r.read_count(32 + 16 * extra_uv + 1 + sz_bone + 4,
+                          "vertex count")
     positions = np.empty((n_vert, 3), np.float32)
     normals = np.empty((n_vert, 3), np.float32)
     uvs = np.empty((n_vert, 2), np.float32)
@@ -260,7 +278,10 @@ def parse_pmx(data: bytes) -> PmxModel:
             ptr(sdef_c), ptr(sdef_r0), ptr(sdef_r1), ptr(edge_scale),
             ctypes.byref(end))
         if rc != 0:
-            raise ValueError(f"native PMX vertex parse failed (rc={rc})")
+            # rc -1: buffer overrun; rc -2: invalid skinning type — same
+            # failure classes the python fallback types below
+            raise ParseError(f"native PMX vertex parse failed (rc={rc})",
+                             r.pos, "vertices")
         r.pos = end.value
     else:
         _parse_vertices_python(
@@ -323,24 +344,35 @@ def _parse_vertices_python(r, n_vert, extra_uv, sz_bone, positions, normals,
             sdef_r0[i] = r.read("3f")
             sdef_r1[i] = r.read("3f")
         else:
-            raise ValueError(f"invalid skinning type {st} at vertex {i}")
+            raise ParseError(f"invalid skinning type {st} at vertex {i}",
+                             r.pos - 1, "skinning type")
         edge_scale[i] = r.read("f")
 
 
 def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
                   sz_rigid):
     # --- triangles (fixed-size: bulk numpy read)
-    n_index = r.read("i")
+    n_index = r.read_count(sz_vert, "index count")
+    if n_index % 3 != 0:
+        raise ParseError(f"index count {n_index} not a multiple of 3",
+                         r.pos - 4, "index count")
     idx_dtype = {1: np.uint8, 2: np.uint16, 4: np.int32}[sz_vert]
-    tri_flat = r.read_array(idx_dtype, n_index).astype(np.int32)
+    tri_flat = r.read_array(idx_dtype, n_index, "triangles").astype(np.int32)
+    n_vert = len(m.positions)
+    if n_index and (int(tri_flat.min()) < 0 or int(tri_flat.max()) >= n_vert):
+        raise ParseError(
+            f"triangle index out of range [0, {n_vert})", r.pos, "triangles")
     m.triangles = tri_flat.reshape(-1, 3)
 
     # --- textures
-    n_tex = r.read("i")
-    m.textures = [r.read_text(utf8) for _ in range(n_tex)]
+    n_tex = r.read_count(4, "texture count")
+    m.textures = [r.read_text(utf8, "texture path") for _ in range(n_tex)]
 
     # --- materials / parts
-    n_mat = r.read("i")
+    # min record: 2 texts + 11f + flag + 4f+f edge + 2 tex idx + 2B + meta
+    # text + i32 triangle count
+    n_mat = r.read_count(8 + 44 + 1 + 20 + 2 * sz_tex + 2 + 4 + 4,
+                         "material count")
     base_shift = 0
     for _ in range(n_mat):
         name = r.read_text(utf8)
@@ -360,8 +392,12 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
             toon = r.read("B")
         else:
             toon = _norm_index(r.read_index(sz_tex), n_tex)
-        meta = r.read_text(utf8)
-        part_tris = r.read("i") // 3
+        meta = r.read_text(utf8, "material meta")
+        part_indices = r.read("i", "material index count")
+        if part_indices < 0:
+            raise ParseError(f"negative part index count {part_indices}",
+                             r.pos - 4, "material index count")
+        part_tris = part_indices // 3
         m.materials.append(Material(
             name, name_en, diffuse, specular, shininess, ambient, draw_flag,
             np.array(edge[0:4], np.float32), edge[4], tex, sub_tex, sub_type,
@@ -369,7 +405,9 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
         base_shift += part_tris
 
     # --- bones
-    n_bone = r.read("i")
+    # min record: 2 texts + 3f + parent idx + i32 level + u16 flags + 3f or
+    # child idx (flag-dependent; child idx of 1 byte is the floor)
+    n_bone = r.read_count(8 + 12 + sz_bone + 4 + 2 + 1, "bone count")
     for _ in range(n_bone):
         name = r.read_text(utf8)
         name_en = r.read_text(utf8)
@@ -402,7 +440,7 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
             b.ik_target = _norm_index(r.read_index(sz_bone), n_bone)
             b.ik_loop = r.read("i")
             b.ik_angle = r.read("f")
-            n_links = r.read("i")
+            n_links = r.read_count(sz_bone + 1, "ik link count")
             for _ in range(n_links):
                 link = r.read_index(sz_bone)
                 has_limit = r.read("b") != 0
@@ -415,13 +453,23 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
         m.bones.append(b)
 
     # --- morphs
-    n_morph = r.read("i")
+    n_morph = r.read_count(8 + 2 + 4, "morph count")
+    _morph_min_rec = {
+        MORPH_GROUP: sz_morph + 4, MORPH_VERTEX: sz_vert + 12,
+        MORPH_BONE: sz_bone + 28, MORPH_UV: sz_vert + 16,
+        MORPH_EXT_UV_1: sz_vert + 16, MORPH_EXT_UV_2: sz_vert + 16,
+        MORPH_EXT_UV_3: sz_vert + 16, MORPH_EXT_UV_4: sz_vert + 16,
+        MORPH_MATERIAL: sz_mat + 1 + 112,
+    }
     for _ in range(n_morph):
-        name = r.read_text(utf8)
-        name_en = r.read_text(utf8)
+        name = r.read_text(utf8, "morph name")
+        name_en = r.read_text(utf8, "morph name (en)")
         category = r.read("B")
         mtype = r.read("B")
-        k = r.read("i")
+        if mtype not in _morph_min_rec:
+            raise ParseError(f"unknown morph type {mtype}", r.pos - 1,
+                             "morph type")
+        k = r.read_count(_morph_min_rec[mtype], "morph entry count")
         morph = Morph(name, name_en, category, mtype)
         if mtype == MORPH_GROUP:
             idxs = np.empty(k, np.int32)
@@ -436,6 +484,10 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
             for j in range(k):
                 idxs[j] = r.read_index(sz_vert)
                 offs[j] = r.read("3f")
+            if k and (int(idxs.min()) < 0 or int(idxs.max()) >= n_vert):
+                raise ParseError(
+                    f"vertex morph index out of range [0, {n_vert})",
+                    r.pos, "vertex morph")
             morph.vertex_indices, morph.vertex_offsets = idxs, offs
         elif mtype == MORPH_BONE:
             idxs = np.empty(k, np.int32)
@@ -454,6 +506,10 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
             for j in range(k):
                 idxs[j] = r.read_index(sz_vert)
                 offs[j] = r.read("4f")
+            if k and (int(idxs.min()) < 0 or int(idxs.max()) >= n_vert):
+                raise ParseError(
+                    f"uv morph index out of range [0, {n_vert})",
+                    r.pos, "uv morph")
             morph.uv_vertex_indices, morph.uv_offsets = idxs, offs
         elif mtype == MORPH_MATERIAL:
             idxs = np.empty(k, np.int32)
@@ -466,26 +522,27 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
             morph.material_indices = idxs
             morph.material_methods = methods
             morph.material_payload = payload
-        else:
-            raise ValueError(f"unknown morph type {mtype}")
+        else:  # unreachable: mtype validated against _morph_min_rec above
+            raise ParseError(f"unknown morph type {mtype}", r.pos,
+                             "morph type")
         m.morphs.append(morph)
 
     # --- display frames: read and discard (reference reader:363-382)
-    n_frames = r.read("i")
+    n_frames = r.read_count(8 + 1 + 4, "display frame count")
     for _ in range(n_frames):
-        r.read_text(utf8)
-        r.read_text(utf8)
+        r.read_text(utf8, "display frame name")
+        r.read_text(utf8, "display frame name (en)")
         r.read("B")
-        n_el = r.read("i")
+        n_el = r.read_count(2, "display element count")
         for _ in range(n_el):
             is_morph = r.read("B") == 1
             r.read_index(sz_morph if is_morph else sz_bone)
 
     # --- rigid bodies
-    n_rigid = r.read("i")
+    n_rigid = r.read_count(8 + sz_bone + 4 + 56 + 1, "rigid body count")
     for _ in range(n_rigid):
-        name = r.read_text(utf8)
-        name_en = r.read_text(utf8)
+        name = r.read_text(utf8, "rigid body name")
+        name_en = r.read_text(utf8, "rigid body name (en)")
         bone = _norm_index(r.read_index(sz_bone), n_bone)
         group = r.read("B")
         mask = r.read("H")
@@ -499,13 +556,15 @@ def _finish_parse(m, r, utf8, sz_vert, sz_tex, sz_mat, sz_bone, sz_morph,
             vals[9], vals[10], vals[11], vals[12], vals[13], rb_type_byte))
 
     # --- constraints (6DOF spring joints only, reader:410-440)
-    n_cons = r.read("i")
+    # min record: 2 texts + type byte + 2 rigid idx + 24f
+    n_cons = r.read_count(8 + 1 + 2 * sz_rigid + 96, "constraint count")
     for _ in range(n_cons):
-        name = r.read_text(utf8)
-        name_en = r.read_text(utf8)
+        name = r.read_text(utf8, "constraint name")
+        name_en = r.read_text(utf8, "constraint name (en)")
         dof_type = r.read("B")
         if dof_type != 0:
-            raise ValueError("only 6DOF spring joints are supported")
+            raise ParseError("only 6DOF spring joints are supported",
+                             r.pos - 1, "constraint type")
         ba = r.read_index(sz_rigid)
         bb = r.read_index(sz_rigid)
         vals = r.read("3f3f3f3f3f3f3f3f")

@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..utils.io import decode_shift_jis
+from ..utils.io import ParseError, decode_shift_jis
 
 MAGIC = b"Vocaloid Motion Data 0002"
 
@@ -144,15 +144,37 @@ def _group_sorted(names_raw, recs):
         yield decode_shift_jis(names_sorted[bounds[i]].tobytes()), rows
 
 
+def _read_u32(data: bytes, pos: int, field: str) -> int:
+    if pos + 4 > len(data):
+        raise ParseError("truncated: need 4 bytes for count", pos, field)
+    return int(np.frombuffer(data, "<u4", 1, pos)[0])
+
+
+def _read_records(data: bytes, dt: np.dtype, count: int, pos: int,
+                  field: str) -> np.ndarray:
+    """Bounds-checked bulk record read — a forged count raises ParseError
+    instead of numpy's untyped ValueError (or a giant allocation)."""
+    if pos + dt.itemsize * count > len(data):
+        raise ParseError(
+            f"truncated: need {dt.itemsize * count} bytes for {count} "
+            f"records, {len(data) - pos} left", pos, field)
+    return np.frombuffer(data, dt, count, pos)
+
+
 def parse_vmd(data: bytes) -> VmdMotion:
+    """Parse VMD bytes. Mandatory sections (header, bone, morph) raise
+    utils.io.ParseError on truncation/forged counts; the optional
+    camera/light tails degrade to "keep what parsed" like the reference's
+    reader, which stops wherever the stream ends
+    (`reader/vmd_reader_impl.inl:9-108`)."""
     if data[:25] != MAGIC:
-        raise ValueError("not a VMD file")
+        raise ParseError("not a VMD file", 0, "magic")
     motion = VmdMotion()
     motion.name = decode_shift_jis(data[30:50])
     pos = 50
 
-    n_bone = int(np.frombuffer(data, "<u4", 1, pos)[0]); pos += 4
-    bone_recs = np.frombuffer(data, _BONE_DT, n_bone, pos)
+    n_bone = _read_u32(data, pos, "bone keyframe count"); pos += 4
+    bone_recs = _read_records(data, _BONE_DT, n_bone, pos, "bone keyframes")
     pos += _BONE_DT.itemsize * n_bone
 
     inv127 = np.float32(1.0 / 127.0)
@@ -168,8 +190,9 @@ def parse_vmd(data: bytes) -> VmdMotion:
             rotations=rows["rotation"].copy(),
             c0=c0, c1=c1)
 
-    n_morph = int(np.frombuffer(data, "<u4", 1, pos)[0]); pos += 4
-    morph_recs = np.frombuffer(data, _MORPH_DT, n_morph, pos)
+    n_morph = _read_u32(data, pos, "morph keyframe count"); pos += 4
+    morph_recs = _read_records(data, _MORPH_DT, n_morph, pos,
+                               "morph keyframes")
     pos += _MORPH_DT.itemsize * n_morph
     for name, rows in _group_sorted(morph_recs["name"], morph_recs):
         k = len(rows)
