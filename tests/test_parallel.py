@@ -266,3 +266,67 @@ def test_crowd_jit_textured_atlas_rides_as_argument():
     _, images_fb = step_fb(crowd_fb)
     assert images_fb.shape == (n, 32, 32, 3)
     assert np.isfinite(np.asarray(images_fb)).all()
+
+
+def test_crowd_compact_multipass_under_mesh_matches_per_instance():
+    """Dense fused crowd binning UNDER shard_map (r3 VERDICT weak #4's
+    second half): with mostly-valid geometry every device shard's
+    validity-compacted binning fires MULTIPLE passes (n_valid > ceil(I*T/4)
+    per shard, so the lax.cond pass gates take the run branch), and the
+    sharded fused result must equal the exact single-instance tiled raster
+    per instance."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from simple_mmd_renderer_tpu.ops import tiled_raster
+    from simple_mmd_renderer_tpu.render import raster
+
+    assert len(jax.devices()) >= 4
+    mesh = par.make_mesh(jax.devices()[:4])
+    rng = np.random.default_rng(77)
+    n_inst, w, h, t = 8, 128, 64, 120
+    clips, attrs = [], []
+    for _ in range(n_inst):
+        v0 = rng.uniform(-0.9, 0.9, (t, 2))
+        d1 = rng.uniform(-0.25, 0.25, (t, 2))
+        d2 = rng.uniform(-0.25, 0.25, (t, 2))
+        verts = np.stack([v0, v0 + d1, v0 + d2], 1).reshape(-1, 2)
+        zs = rng.uniform(0.1, 0.9, (t, 1)).repeat(3, 1).reshape(-1)
+        clips.append(np.concatenate(
+            [verts, zs[:, None], np.ones((t * 3, 1))], -1).astype(np.float32))
+        attrs.append(rng.uniform(0, 1, (t * 3, 2)).astype(np.float32))
+    tris = jnp.asarray(np.arange(t * 3, dtype=np.int32).reshape(t, 3))
+    clip_b = jnp.asarray(np.stack(clips))
+    attr_b = jnp.asarray(np.stack(attrs))
+
+    # each 2-instance shard must hold enough valid triangles that binning
+    # passes beyond pass 0 actually RUN (not cond-skip): n_valid > k * c_v
+    # for k >= 2 of the CROWD_COMPACT_DIV passes
+    i_local = n_inst // 4
+    c_v = -(-i_local * t // tiled_raster.CROWD_COMPACT_DIV)
+    for d in range(4):
+        n_valid = 0
+        for i in range(d * i_local, (d + 1) * i_local):
+            s = raster.setup(clip_b[i], tris, w, h, raster.CULL_NONE)
+            n_valid += int(np.asarray(jnp.sum(s["valid"].astype(jnp.int32))))
+        assert n_valid > 2 * c_v, (
+            f"shard {d}: {n_valid} valid <= {2 * c_v}; the multi-pass run "
+            "branch would not execute — densify the test geometry")
+
+    fused = partial(tiled_raster.rasterize_attrs_tiled_crowd,
+                    tris=tris, width=w, height=h, cull=raster.CULL_NONE)
+    sharded = par._shard_map(
+        lambda c, a: fused(c, attrs=a), mesh=mesh,
+        in_specs=(P("data"), P("data")), out_specs=P("data"))
+    vis, attr = jax.jit(sharded)(clip_b, attr_b)
+    assert len(attr.sharding.device_set) == 4
+    for i in range(n_inst):
+        ref_vis, ref_attr = tiled_raster.rasterize_attrs_tiled(
+            clip_b[i], tris, attr_b[i], w, h, raster.CULL_NONE, 8, 64)
+        np.testing.assert_allclose(np.asarray(vis.depth[i]),
+                                   np.asarray(ref_vis.depth), atol=2e-5)
+        same = np.asarray(vis.tri[i]) == np.asarray(ref_vis.tri)
+        assert (~same).mean() < 1e-3
+        np.testing.assert_allclose(np.asarray(attr[i])[same],
+                                   np.asarray(ref_attr)[same], atol=2e-4)
