@@ -234,6 +234,92 @@ def main():
             clip, tris, attrs, width, height, raster.CULL_BACK, e_max, k_max)
         return jnp.mean(attr_px) + jnp.mean(vis.depth)
 
+    # PRODUCTION character raster: deferred-UV (3 normal channels only),
+    # production e_max/chunk and the compacted-prefix binning — what
+    # render_frame actually launches at this scene
+    @stage("char_raster_prod")
+    def _(c):
+        clip = raster.transform_clip(verts_m + c * 1e-20, mats["mvp"])
+        vis, attr_px = tr.rasterize_attrs_tiled(
+            clip, tris, jnp.asarray(normals), width, height,
+            raster.CULL_BACK, pl_mod._tiled_e_max(width, height), 256,
+            None, True)
+        return jnp.mean(attr_px) + jnp.mean(vis.depth)
+
+    def _prefix_pieces(c, upto):
+        """Decompose the PRODUCTION compacted-prefix bin (_bin_prefix) at
+        the rung this frame actually selects."""
+        clip = raster.transform_clip(verts_m + c * 1e-20, mats["mvp"])
+        s = raster.setup(clip, tris, width, height, raster.CULL_BACK)
+        s["tris_v"] = tris
+        rows = tr._setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32),
+                              jnp.asarray(normals))
+        if upto == "setup_rows":
+            return jnp.mean(rows)
+        em = pl_mod._tiled_e_max(width, height)
+        tiles_x = -(-width // tr.TILE_W)
+        tiles_y = -(-height // tr.TILE_H)
+        n_tiles = tiles_x * tiles_y
+        tile, big = tr._expand_tiles(s, width, height, em)
+        t = tile.shape[0]
+        valid_tri = tile[:, 0] < n_tiles
+        n_valid = jnp.sum(valid_tri.astype(jnp.int32))
+        if upto == "expand":
+            return jnp.mean(tile.astype(jnp.float32)) + n_valid
+        vbits = max(int(t - 1).bit_length(), 1)
+        key = (jnp.where(valid_tri, 0, 1 << vbits)
+               + jnp.arange(t, dtype=jnp.int32))
+        cids = jax.lax.sort(key, is_stable=False) & ((1 << vbits) - 1)
+        if upto == "compact_ids":
+            return jnp.mean(cids.astype(jnp.float32))
+        sizes = sorted({min(t, -(-(t * num) // den))
+                        for num, den in tr.COMPACT_RUNGS} | {t})
+        # report which rung fires (printed via checksum fraction)
+        c_n = sizes[1] if len(sizes) > 1 else sizes[0]
+        ids = jax.lax.slice(cids, (0,), (c_n,))
+        flat_tile = tile[ids].reshape(-1)
+        flat_tri = jnp.broadcast_to(ids[:, None], (c_n, em)).reshape(-1)
+        if upto == "rung_gather_tiles":
+            return (jnp.mean(flat_tile.astype(jnp.float32))
+                    + jnp.mean(flat_tri.astype(jnp.float32)))
+        sorted_tri, start = tr._packed_sort(flat_tile, flat_tri, t, n_tiles)
+        if upto == "rung_sort":
+            return (jnp.mean(sorted_tri.astype(jnp.float32))
+                    + jnp.mean(start.astype(jnp.float32)))
+        counts = (start[1:] - start[:-1]).astype(jnp.int32)
+        eidx = jnp.arange(sorted_tri.shape[0], dtype=jnp.int32)
+        spread = 256 if t >= 256 else 1
+        sorted_tri = jnp.where(eidx < start[n_tiles], sorted_tri,
+                               eidx & (spread - 1))
+        lane_pad = (-rows.shape[1]) % 128
+        sorted_rows = rows[sorted_tri]
+        sorted_rows = jnp.pad(sorted_rows, ((0, 256), (0, lane_pad)))
+        return jnp.mean(sorted_rows) + jnp.mean(counts.astype(jnp.float32))
+
+    @stage("prod_setup_rows")
+    def _(c):
+        return _prefix_pieces(c, "setup_rows")
+
+    @stage("prod_expand")
+    def _(c):
+        return _prefix_pieces(c, "expand")
+
+    @stage("prod_compact_ids")
+    def _(c):
+        return _prefix_pieces(c, "compact_ids")
+
+    @stage("prod_rung_gather_tiles")
+    def _(c):
+        return _prefix_pieces(c, "rung_gather_tiles")
+
+    @stage("prod_rung_sort")
+    def _(c):
+        return _prefix_pieces(c, "rung_sort")
+
+    @stage("prod_rung_rows")
+    def _(c):
+        return _prefix_pieces(c, "rung_rows")
+
     @stage("shadow_pass")
     def _(c):
         sm = pl_mod.shadow_pass(verts_m + c * 1e-20, tris, mats["light_mvp"],

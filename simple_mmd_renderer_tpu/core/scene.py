@@ -22,6 +22,7 @@ from flax import struct
 
 from ..config import AppConfig
 from ..render.pipeline import render_frame
+from ..utils.profiling import pass_scope
 from . import anim as anim_mod
 from . import physics as phys_mod
 from . import pose as pose_mod
@@ -63,14 +64,17 @@ class Scene:
         if self.part_textures is None:
             return None
         mips = int(self.config.render.texture_mips)
-        src = getattr(self, "_atlas_src", None)
-        if src is None or src[0] is not self.part_textures or src[1] != mips:
+        # cache key includes each element's identity, not just the list's:
+        # replacing a texture IN PLACE (scene.part_textures[i] = new) must
+        # invalidate, or a stale atlas is served silently
+        key = (id(self.part_textures),
+               tuple(id(t) for t in self.part_textures), mips)
+        if getattr(self, "_atlas_src", None) != key:
             from ..render.pipeline import build_packed_atlas
             object.__setattr__(self, "_atlas",
                                build_packed_atlas(self.part_textures,
                                                   mip_levels=mips))
-            object.__setattr__(self, "_atlas_src",
-                               (self.part_textures, mips))
+            object.__setattr__(self, "_atlas_src", key)
         return self._atlas
 
     def init_state(self) -> SimState:
@@ -137,17 +141,25 @@ class Scene:
         cfg = self.config
         time = state.time + jnp.float32(1.0 / cfg.fps)
 
-        anim_rot, anim_trans, rates = self._sample_anim(time)
-        pose = pose_mod.pre_physics_posing(static, anim_rot, anim_trans, rates)
+        # pass_scope labels (utils/profiling.py) name the sim stages in
+        # profiler traces — the reference's debug groups, main.cpp:2014+
+        with pass_scope("anim"):
+            anim_rot, anim_trans, rates = self._sample_anim(time)
+        with pass_scope("pre_physics"):
+            pose = pose_mod.pre_physics_posing(static, anim_rot, anim_trans,
+                                               rates)
         physics = state.physics
         if self.motion is not None and cfg.physics.enabled \
                 and self.phys_static.n_bodies:
-            physics, pose = phys_mod.physics_react(
-                static, self.phys_static, physics, pose, cfg.physics)
-        pose = pose_mod.post_physics_posing(static, pose, anim_rot,
-                                            anim_trans, rates)
-        positions, normals = pose_mod.deform(static, pose,
-                                             sdef=cfg.sdef_true)
+            with pass_scope("physics"):
+                physics, pose = phys_mod.physics_react(
+                    static, self.phys_static, physics, pose, cfg.physics)
+        with pass_scope("post_physics"):
+            pose = pose_mod.post_physics_posing(static, pose, anim_rot,
+                                                anim_trans, rates)
+        with pass_scope("deform"):
+            positions, normals = pose_mod.deform(static, pose,
+                                                 sdef=cfg.sdef_true)
         return SimState(time=time, physics=physics), pose, positions, normals
 
     def step_and_render(self, state: SimState, width=None, height=None,

@@ -10,9 +10,14 @@ per-frame blend is
     pos' = blended_rot @ (pos + morph) + blended_trans   (VPU, fused)
 
 which is identical arithmetic to the gather path up to float summation order
-(the three extra zero weights contribute exact zeros). W is kept in bf16 by
-default — weights are 8-bit fractions in PMX files, so bf16 is exact for
-them — with f32 accumulation on the MXU.
+(the three extra zero weights contribute exact zeros). W defaults to f32 so
+the matmul path stays allclose-tight against the 4-wide gather reference
+(BASELINE.md: bitwise-stable skinning). Passing dtype=bfloat16 to
+`build_weight_matrix` halves the table's HBM footprint and read traffic —
+weights round at ~2^-9 relative (PMX stores f32 weights, so bf16 is lossy);
+the matmul still accumulates in f32 (the bf16 table upcasts after the HBM
+read, fused into the operand load), tested allclose in
+tests/test_pose.py::test_matmul_skinning_bf16_weights_close.
 
 Used automatically by `core.pose.deform` when the dense table is affordable
 (N*B below a budget); the gather path remains for huge rigs and as the
@@ -40,11 +45,16 @@ def build_weight_matrix(skin_bones: np.ndarray, skin_weights: np.ndarray,
 def skin_matmul(weight_matrix, skin_mats, positions, vertex_offsets, normals):
     """-> (pos' [N,3], nrm' [N,3]).
 
-    weight_matrix: [N,B] (possibly bf16); skin_mats: [B,4,4]."""
+    weight_matrix: [N,B] (possibly bf16); skin_mats: [B,4,4].
+
+    The blend always accumulates in f32: a bf16 W upcasts after the HBM
+    read (XLA fuses the convert into the operand load, so the bandwidth
+    saving survives), and the tiny [B,12] palette never downcasts —
+    translations can be tens of MMD units, where bf16 loses ~0.05."""
     b = skin_mats.shape[0]
-    palette = skin_mats[:, :3, :4].reshape(b, 12)
-    w = jnp.asarray(weight_matrix)
-    blended = jnp.dot(w, palette.astype(w.dtype),
+    palette = skin_mats[:, :3, :4].reshape(b, 12).astype(jnp.float32)
+    w = jnp.asarray(weight_matrix).astype(jnp.float32)
+    blended = jnp.dot(w, palette,
                       preferred_element_type=jnp.float32)   # [N,12]
     m = blended.reshape(-1, 3, 4)
     p = positions + vertex_offsets

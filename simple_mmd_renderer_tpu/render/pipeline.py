@@ -23,6 +23,7 @@ from flax import struct
 
 from ..config import RenderConfig
 from ..formats.textures import sample_bilinear
+from ..utils.profiling import pass_scope
 from . import camera as cam
 from . import ibl as ibl_mod
 from . import raster
@@ -703,10 +704,14 @@ def character_albedo_windowed(static, tri, uv_px, part_textures,
 def crowd_render_supported(cfg: RenderConfig, part_textures=None,
                            cubemap=None, camera=None) -> bool:
     """True when the fused multi-instance render path covers the config:
-    textures (shared atlas), native 4x MSAA, shadows and ground are all
-    fused; skybox, per-instance VMD camera, edge outlines, double-sided
-    materials and the supersample-emulation MSAA fall back to
-    vmap(render_frame), which supports them."""
+    textures (shared atlas, incl. texture_mips level selection per
+    instance), native 4x MSAA, shadows and ground are all fused; skybox,
+    per-instance VMD camera, edge outlines, double-sided materials and the
+    supersample-emulation MSAA fall back to vmap(render_frame), which
+    supports them. `texture_resident` (a single-instance perf knob: the
+    per-frame resident mip mini-atlas) is intentionally ignored on the
+    crowd path — the fused path samples the mip atlas directly, which is
+    exact; a per-instance mini-atlas would multiply the copy cost by I."""
     return (cubemap is None and camera is None
             and not cfg.show_skybox
             and not cfg.show_edges and not cfg.double_sided
@@ -801,10 +806,31 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     world_px = jax.vmap(
         lambda d: unproject_depth(d, vp, width, height))(vis.depth)
     if part_textures is not None:
-        albedo = jax.vmap(
-            lambda t, uv: character_albedo(static, t, uv, part_textures,
-                                           atlas))(
-                vis.tri, attr_px[..., 3:5])
+        atl = atlas
+        if atl is not None and atl.n_mips > 1:
+            # mip-chain atlas: per-instance fused UV/placement rows select
+            # each triangle's mip level from ITS instance's screen-space
+            # footprint (same _tri_mip_levels selection as the
+            # single-instance deferred-UV path), sampled via _albedo_rows —
+            # one extra [T,12] row table per instance, no per-pixel part
+            # tables. texture_resident stays single-instance-only: a
+            # per-frame resident mini-atlas PER INSTANCE would multiply
+            # the copy cost by I (crowd_render_frame ignores it; sampling
+            # the mip atlas directly is exact).
+            uvs = jnp.asarray(static.uvs)
+
+            def albedo_one(c, t, b):
+                screen, _, _ = raster.screen_from_clip(c, width, height)
+                rows = affine_uv_part_rows(uvs, tris, atl, static,
+                                           screen_xy=screen)
+                return _albedo_rows(atl, t, b, rows)
+
+            albedo = jax.vmap(albedo_one)(clip, vis.tri, vis.bary)
+        else:
+            albedo = jax.vmap(
+                lambda t, uv: character_albedo(static, t, uv, part_textures,
+                                               atlas))(
+                    vis.tri, attr_px[..., 3:5])
     else:
         albedo = jnp.ones((n_inst, height, width, 3), jnp.float32)
     char_color = jax.vmap(
@@ -862,11 +888,15 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     tris = jnp.asarray(static.triangles)[:, ::-1]  # winding flip at upload
     raster_fn = _pick_raster(cfg, tris.shape[0])
 
-    # --- shadow pass
+    # --- shadow pass. pass_scope = the reference's sg_push_debug_group
+    # pass labels (main.cpp:2014/2055/2192): each scope names its ops in
+    # jax.profiler / xprof traces
     if cfg.shadows_enabled:
-        shadow_map = shadow_pass(verts_m, tris, mats["light_mvp"],
-                                 cfg.shadow_map_size, raster_fn,
-                                 cfg.shadow_window, compact=cfg.compact_bin)
+        with pass_scope("shadow"):
+            shadow_map = shadow_pass(verts_m, tris, mats["light_mvp"],
+                                     cfg.shadow_map_size, raster_fn,
+                                     cfg.shadow_window,
+                                     compact=cfg.compact_bin)
     else:
         shadow_map = jnp.ones((1, 1), jnp.float32)
 
@@ -874,39 +904,42 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     color = jnp.broadcast_to(jnp.asarray(cfg.clear_color, jnp.float32),
                              (height, width, 3))
     if cfg.show_skybox and cubemap is not None:
-        color = ibl_mod.skybox_colors(cubemap, mats["view"], mats["proj"],
-                                      width, height)
+        with pass_scope("skybox"):
+            color = ibl_mod.skybox_colors(cubemap, mats["view"],
+                                          mats["proj"], width, height)
 
     # --- ground (identity model matrix, main.cpp:2152)
     if cfg.show_ground:
-        ground_mask, gpos, ground_depth = ground_pass(
-            cfg, mats["view"], mats["proj"], width, height)
-        if cfg.shadows_enabled:
-            # 3x3 PCF evaluated in shadow space (one dense pass), then a
-            # single lookup per (possibly downsampled) pixel — see
-            # shade.ground_lit_map / RenderConfig.shadow_lookup_downsample
-            lit_map = shade.ground_lit_map(shadow_map, mats["light_vp"])
-            ds = max(int(cfg.shadow_lookup_downsample), 1)
-            if ds > 1 and width % ds == 0 and height % ds == 0:
-                lw, lh = width // ds, height // ds
-                _, gpos_lo, _ = ground_pass(cfg, mats["view"], mats["proj"],
-                                            lw, lh)
-                lclip = raster.transform_clip(
-                    gpos_lo.reshape(-1, 3), mats["light_vp"]).reshape(
-                        lh, lw, 4)
-                lit_lo = shade.ground_shadow_lookup(lclip, lit_map,
-                                                    jnp.asarray(True))
-                lit = jax.image.resize(lit_lo, (height, width, 1), "linear")
+        with pass_scope("ground"):
+            ground_mask, gpos, ground_depth = ground_pass(
+                cfg, mats["view"], mats["proj"], width, height)
+            if cfg.shadows_enabled:
+                # 3x3 PCF evaluated in shadow space (one dense pass), then a
+                # single lookup per (possibly downsampled) pixel — see
+                # shade.ground_lit_map / RenderConfig.shadow_lookup_downsample
+                lit_map = shade.ground_lit_map(shadow_map, mats["light_vp"])
+                ds = max(int(cfg.shadow_lookup_downsample), 1)
+                if ds > 1 and width % ds == 0 and height % ds == 0:
+                    lw, lh = width // ds, height // ds
+                    _, gpos_lo, _ = ground_pass(cfg, mats["view"], mats["proj"],
+                                                lw, lh)
+                    lclip = raster.transform_clip(
+                        gpos_lo.reshape(-1, 3), mats["light_vp"]).reshape(
+                            lh, lw, 4)
+                    lit_lo = shade.ground_shadow_lookup(lclip, lit_map,
+                                                        jnp.asarray(True))
+                    lit = jax.image.resize(lit_lo, (height, width, 1), "linear")
+                else:
+                    lclip = raster.transform_clip(
+                        gpos.reshape(-1, 3), mats["light_vp"]).reshape(
+                            height, width, 4)
+                    lit = shade.ground_shadow_lookup(lclip, lit_map,
+                                                     jnp.asarray(True))
             else:
-                lclip = raster.transform_clip(
-                    gpos.reshape(-1, 3), mats["light_vp"]).reshape(
-                        height, width, 4)
-                lit = shade.ground_shadow_lookup(lclip, lit_map,
-                                                 jnp.asarray(True))
-        else:
-            lit = jnp.ones((height, width, 1), jnp.float32)
-        gcolor = jnp.ones(3, jnp.float32) * 0.7 * lit
-        color = jnp.where(ground_mask[..., None], gcolor, color)
+                lit = jnp.ones((height, width, 1), jnp.float32)
+            gcolor = jnp.ones(3, jnp.float32) * 0.7 * lit
+            color = jnp.where(ground_mask[..., None], gcolor, color)
+
     else:
         ground_mask = jnp.zeros((height, width), bool)
         ground_depth = jnp.ones((height, width), jnp.float32)
@@ -964,21 +997,21 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     if cfg.double_sided and static.nocull_tris.any():
         nocull = jnp.asarray(static.nocull_tris)
     sdepth = None
-    if raster_fn is raster.rasterize:
-        vis = raster_fn(clip, tris, width, height, raster.CULL_BACK,
-                        nocull=nocull)
-        attr_px = raster.interpolate(vis, clip, tris, attrs)
-    elif msaa_native:
-        from ..ops.tiled_raster import rasterize_attrs_tiled_msaa
-        vis, attr_px, sdepth = rasterize_attrs_tiled_msaa(
-            clip, tris, attrs, width, height, raster.CULL_BACK,
-            _tiled_e_max(width, height), 256, nocull, cfg.compact_bin)
-    else:
-        from ..ops.tiled_raster import rasterize_attrs_tiled
-        vis, attr_px = rasterize_attrs_tiled(clip, tris, attrs, width,
-                                             height, raster.CULL_BACK,
-                                             _tiled_e_max(width, height), 256,
-                                             nocull, cfg.compact_bin)
+    with pass_scope("character"):
+        if raster_fn is raster.rasterize:
+            vis = raster_fn(clip, tris, width, height, raster.CULL_BACK,
+                            nocull=nocull)
+            attr_px = raster.interpolate(vis, clip, tris, attrs)
+        elif msaa_native:
+            from ..ops.tiled_raster import rasterize_attrs_tiled_msaa
+            vis, attr_px, sdepth = rasterize_attrs_tiled_msaa(
+                clip, tris, attrs, width, height, raster.CULL_BACK,
+                _tiled_e_max(width, height), 256, nocull, cfg.compact_bin)
+        else:
+            from ..ops.tiled_raster import rasterize_attrs_tiled
+            vis, attr_px = rasterize_attrs_tiled(
+                clip, tris, attrs, width, height, raster.CULL_BACK,
+                _tiled_e_max(width, height), 256, nocull, cfg.compact_bin)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],
@@ -1002,43 +1035,44 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     if part_textures is None:
         albedo = jnp.ones((height, width, 3), jnp.float32)
     else:
-        if defer_uv:
-            atl = atlas if atlas is not None \
-                else build_packed_atlas(part_textures,
-                                        mip_levels=cfg.texture_mips)
-            screen = None
-            resident = None
-            sample_atl = atl
-            if atl is not None and atl.n_mips > 1 and cfg.texture_mips > 1:
-                screen, _, _ = raster.screen_from_clip(clip, width, height)
-                if cfg.texture_resident and atl.mip_meta:
-                    pn = atl.sizes.shape[0]
-                    pid_np = _static_pid(tris.shape[0], static, pn)
-                    g = uvs[tris]
-                    sz0 = atl.sizes[jnp.asarray(pid_np)][:, ::-1]
-                    lvl = _tri_mip_levels(g, sz0, screen, tris, atl.n_mips)
-                    nl = jax.ops.segment_min(lvl, jnp.asarray(pid_np),
-                                             num_segments=pn,
-                                             indices_are_sorted=True)
-                    slot = (resident_slot_size(pn)
-                            if int(cfg.texture_resident) == 1
-                            else int(cfg.texture_resident))
-                    mini, roff, rsz = build_resident_atlas(atl, nl, slot)
-                    resident = (roff, rsz)
-                    sample_atl = mini
-            rows = (affine_uv_part_rows(uvs, tris, atl, static,
-                                        screen_xy=screen,
-                                        resident=resident)
-                    if atl is not None else affine_uv_rows(uvs, tris))
-            albedo = character_albedo_windowed(
-                static, vis.tri, None, part_textures, sample_atl,
-                bary=vis.bary, uv_rows=rows)
-        elif cfg.albedo_window:
-            albedo = character_albedo_windowed(static, vis.tri, uv_px,
-                                               part_textures, atlas)
-        else:
-            albedo = character_albedo(static, vis.tri, uv_px,
-                                      part_textures, atlas)
+        with pass_scope("albedo"):
+            if defer_uv:
+                atl = atlas if atlas is not None \
+                    else build_packed_atlas(part_textures,
+                                            mip_levels=cfg.texture_mips)
+                screen = None
+                resident = None
+                sample_atl = atl
+                if atl is not None and atl.n_mips > 1 and cfg.texture_mips > 1:
+                    screen, _, _ = raster.screen_from_clip(clip, width, height)
+                    if cfg.texture_resident and atl.mip_meta:
+                        pn = atl.sizes.shape[0]
+                        pid_np = _static_pid(tris.shape[0], static, pn)
+                        g = uvs[tris]
+                        sz0 = atl.sizes[jnp.asarray(pid_np)][:, ::-1]
+                        lvl = _tri_mip_levels(g, sz0, screen, tris, atl.n_mips)
+                        nl = jax.ops.segment_min(lvl, jnp.asarray(pid_np),
+                                                 num_segments=pn,
+                                                 indices_are_sorted=True)
+                        slot = (resident_slot_size(pn)
+                                if int(cfg.texture_resident) == 1
+                                else int(cfg.texture_resident))
+                        mini, roff, rsz = build_resident_atlas(atl, nl, slot)
+                        resident = (roff, rsz)
+                        sample_atl = mini
+                rows = (affine_uv_part_rows(uvs, tris, atl, static,
+                                            screen_xy=screen,
+                                            resident=resident)
+                        if atl is not None else affine_uv_rows(uvs, tris))
+                albedo = character_albedo_windowed(
+                    static, vis.tri, None, part_textures, sample_atl,
+                    bary=vis.bary, uv_rows=rows)
+            elif cfg.albedo_window:
+                albedo = character_albedo_windowed(static, vis.tri, uv_px,
+                                                   part_textures, atlas)
+            else:
+                albedo = character_albedo(static, vis.tri, uv_px,
+                                          part_textures, atlas)
 
     pid = None
 
@@ -1085,9 +1119,10 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                                albedo)
             sphere_addend = jnp.where((modes_px == 2)[..., None], scol, 0.0)
 
-    char_color = shade.shade_character(
-        albedo, nrm_px, world_px, jnp.asarray(cfg.camera_pos, jnp.float32),
-        cfg)
+    with pass_scope("shade"):
+        char_color = shade.shade_character(
+            albedo, nrm_px, world_px,
+            jnp.asarray(cfg.camera_pos, jnp.float32), cfg)
     if sphere_addend is not None:
         char_color = char_color + sphere_addend
     if edge_mask is not None:

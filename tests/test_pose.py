@@ -227,6 +227,36 @@ def test_matmul_skinning_matches_gather():
     np.testing.assert_allclose(np.asarray(n_mm), np.asarray(n_g), atol=1e-5)
 
 
+def test_matmul_skinning_bf16_weights_close():
+    """Opt-in bf16 weight table (halved HBM footprint/traffic): weights
+    round at ~2^-9 relative but the blend still accumulates in f32, so
+    deformed positions stay within bf16 weight quantization of the exact
+    gather path (ops/skinning.py docstring contract)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.ops.skinning import build_weight_matrix
+
+    pm = two_bone_arm()
+    static = M.build_model(pm)
+    w16 = build_weight_matrix(static.skin_bones, static.skin_weights,
+                              static.n_bones, dtype=jnp.bfloat16)
+    assert jnp.asarray(w16).dtype == jnp.bfloat16
+    static16 = dataclasses.replace(static, skin_weight_dense=w16)
+    rot, trans, rates = neutral_inputs(static)
+    rot[0] = [0, 0, np.sin(0.4), np.cos(0.4)]
+    trans[1] = [0.2, 0.1, 0.0]
+    pose = run_jax(static, rot, trans, rates)
+    p16, n16 = PO.deform(static16, pose, use_matmul=True)
+    p_g, n_g = PO.deform(static, pose, use_matmul=False)
+    # bound: |dp| <= sum_k |dw_k| * |M_k p| ~ 2^-9 * coordinate scale
+    scale = np.abs(np.asarray(p_g)).max() + 1.0
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p_g),
+                               atol=2 ** -8 * scale)
+    np.testing.assert_allclose(np.asarray(n16), np.asarray(n_g),
+                               atol=2 ** -8 * 2.0)
+
+
 def test_skinning_bitwise_stable():
     """BASELINE.md: skinning must be bitwise-stable — identical inputs give
     bit-identical outputs across separate jitted executions."""

@@ -270,3 +270,20 @@ def test_seek_jit_is_cached_per_scene():
     s2 = scene.seek(st, 1.25)
     assert scene._seek_jit is fn1
     assert float(s2.time) != float(s1.time)
+
+
+def test_packed_atlas_invalidates_on_inplace_texture_replacement():
+    """Scene.packed_atlas caches; replacing a texture IN PLACE in the list
+    (same list object) must rebuild, not serve the stale atlas."""
+    from simple_mmd_renderer_tpu.app.sample import sample_textures
+
+    scene = _scene()
+    scene.part_textures = sample_textures(sizes=(16, 8))
+    a0 = scene.packed_atlas()
+    assert scene.packed_atlas() is a0           # cache hit, same inputs
+    new0 = np.full_like(scene.part_textures[0], 128 / 255)  # 8-bit grid
+    scene.part_textures[0] = new0               # in-place element swap
+    a1 = scene.packed_atlas()
+    assert a1 is not a0
+    assert (np.asarray(a1.data).shape != np.asarray(a0.data).shape
+            or not np.array_equal(np.asarray(a1.data), np.asarray(a0.data)))
