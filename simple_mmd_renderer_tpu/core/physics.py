@@ -28,8 +28,12 @@ dynamic friction for sliding bodies and exact sticking below the cap.
 Restitution is a velocity-level pass after the position solve.
 
 Divergences from Bullet (documented, qualitative parity is the goal): the
-solver is positional (XPBD-style) rather than sequential-impulse, and box-box /
-capsule-box contacts use point-sampled approximations.
+solver is positional (XPBD-style) rather than sequential-impulse. Contact
+generation: box-box pairs run a separating-axis test over Bullet's axis set
+(6 face axes + 9 edge crosses) and emit up-to-4-point corner manifolds;
+box-floor and capsule-floor contacts are 4-corner / 2-endpoint manifolds
+(Bullet's persistent 4-point manifolds, which resting stacks rely on);
+sphere/capsule-vs-box remains a single closest-point contact per pair.
 """
 
 from __future__ import annotations
@@ -385,11 +389,97 @@ def _sphere_rad(shape, dims):
                      jnp.where(shape == P.SHAPE_CAPSULE, dims[..., 0], 0.0))
 
 
+# manifold slots per candidate pair / per ground contact: Bullet's persistent
+# manifolds hold up to 4 points, which is what lets a resting box balance
+# torque instead of rocking on a single contact
+PAIR_MANIFOLD = 4
+GROUND_MANIFOLD = 4
+_NO_CONTACT = -1e9   # inactive-slot depth: stays negative under any motion
+
+_CORNER_SIGNS = np.asarray(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    np.float32)  # [8,3]
+
+
+def _box_box_manifold(xi, qi, di, xj, qj, dj):
+    """SAT + corner manifold for box-box pairs (vectorized over K).
+
+    Returns (point [K,4,3], normal [K,4,3] oriented j->i, depth [K,4],
+    deepest slot first; signed — negative when separated). Detection is a
+    separating-axis test over the 6 face axes and 9 edge-cross axes
+    (Bullet's btBoxBoxDetector axis set; the reference creates btBoxShape
+    bodies at mmd-bullet_impl.inl:171-172 and relies on Bullet's 4-point
+    persistent manifolds for resting contact). Manifold points are the
+    up-to-4 deepest of 16 corner-penetration candidates (each box's 8
+    corners tested against the other); when the SAT overlaps but no corner
+    is inside (edge-edge crossing), one contact at the midpoint of centers
+    carries the SAT depth along the SAT axis."""
+    ri = m3.quat_to_mat3(qi)            # [K,3,3], columns = local axes
+    rj = m3.quat_to_mat3(qj)
+    d = xi - xj                          # [K,3]
+
+    face_i = jnp.transpose(ri, (0, 2, 1))   # [K,3,3] rows = world axes
+    face_j = jnp.transpose(rj, (0, 2, 1))
+    cross = jnp.cross(face_i[:, :, None, :], face_j[:, None, :, :])
+    axes = jnp.concatenate([face_i, face_j, cross.reshape(-1, 9, 3)], 1)
+    norm = jnp.linalg.norm(axes, axis=-1)                       # [K,15]
+    unit = axes / jnp.maximum(norm, _EPS)[..., None]
+    ext_i = jnp.sum(di[:, None, :]
+                    * jnp.abs(jnp.einsum("kna,kab->knb", unit, ri)), -1)
+    ext_j = jnp.sum(dj[:, None, :]
+                    * jnp.abs(jnp.einsum("kna,kab->knb", unit, rj)), -1)
+    sep = jnp.abs(jnp.einsum("kna,ka->kn", unit, d))
+    overlap = ext_i + ext_j - sep                               # [K,15]
+    # near-parallel edge pairs give a degenerate cross axis: not a valid
+    # separating direction, exclude from the min
+    overlap = jnp.where(norm > 1e-6, overlap, jnp.float32(np.inf))
+    k_min = jnp.argmin(overlap, axis=1)
+    sat_depth = jnp.take_along_axis(overlap, k_min[:, None], 1)[:, 0]
+    axis = jnp.take_along_axis(unit, k_min[:, None, None], 1)[:, 0]
+    # orient j -> i (the solver pushes body i along +normal)
+    axis = axis * jnp.where(jnp.sum(axis * d, -1) >= 0, 1.0, -1.0)[:, None]
+
+    corners = jnp.asarray(_CORNER_SIGNS)
+    cj_w = xj[:, None, :] + jnp.einsum(
+        "kab,knb->kna", rj, corners[None] * dj[:, None, :])     # [K,8,3]
+    ci_w = xi[:, None, :] + jnp.einsum(
+        "kab,knb->kna", ri, corners[None] * di[:, None, :])
+    # depth of j's corners inside box i (local-frame point-box test)
+    lj_in_i = jnp.einsum("kba,knb->kna", ri, cj_w - xi[:, None, :])
+    dj_in_i, _ = _point_box_depth(lj_in_i, di[:, None, :])      # [K,8]
+    li_in_j = jnp.einsum("kba,knb->kna", rj, ci_w - xj[:, None, :])
+    di_in_j, _ = _point_box_depth(li_in_j, dj[:, None, :])
+    cand_p = jnp.concatenate([cj_w, ci_w], 1)                   # [K,16,3]
+    # nearest-face depth can exceed the true overlap for deep corners; the
+    # SAT depth is exact along the manifold normal, so cap at it
+    cand_d = jnp.minimum(jnp.concatenate([dj_in_i, di_in_j], 1),
+                         sat_depth[:, None])
+
+    vals, idx = jax.lax.top_k(cand_d, PAIR_MANIFOLD)            # [K,4]
+    pts = jnp.take_along_axis(cand_p, idx[..., None], 1)        # [K,4,3]
+    any_corner = vals[:, 0] > 0
+    mid = (xi + xj) * 0.5
+    depth0 = jnp.where(any_corner, vals[:, 0], sat_depth)
+    point0 = jnp.where(any_corner[:, None], pts[:, 0], mid)
+    rest_d = jnp.where(any_corner[:, None], vals[:, 1:],
+                       jnp.float32(_NO_CONTACT))
+    depth = jnp.concatenate([depth0[:, None], rest_d], 1)
+    point = jnp.concatenate([point0[:, None], pts[:, 1:]], 1)
+    normal = jnp.broadcast_to(axis[:, None, :], point.shape)
+    return point, normal, depth
+
+
 def pair_contacts(ps: PhysicsStatic, pos, quat):
-    """One contact per candidate pair: (point, normal i<-j, depth)."""
+    """Manifold contacts per candidate pair: (point [K,M,3], normal
+    [K,M,3] i<-j, depth [K,M], deepest slot first, signed). M is STATIC
+    from the rig's shape content: 1 when no candidate pair is box-box
+    (spheres/capsules and mixed pairs need one contact — the common MMD
+    hair rig pays zero manifold overhead), else PAIR_MANIFOLD with the
+    SAT corner manifold (_box_box_manifold) computed only on the static
+    box-box subset."""
     if len(ps.pair_i) == 0:
-        z = jnp.zeros((0, 3), jnp.float32)
-        return z, z, jnp.zeros((0,), jnp.float32)
+        z = jnp.zeros((0, 1, 3), jnp.float32)
+        return z, z, jnp.zeros((0, 1), jnp.float32)
     i = jnp.asarray(ps.pair_i)
     j = jnp.asarray(ps.pair_j)
     shape = jnp.asarray(ps.shape)
@@ -434,48 +524,77 @@ def pair_contacts(ps: PhysicsStatic, pos, quat):
     depth_ib, n_ib = vs_box(xi, qi, di, pj_, rj)   # j into box i: normal j->out
     depth_jb, n_jb = vs_box(xj, qj, dj, pi_, ri)   # i into box j
 
-    # select: box_j (and not box_i): normal from box j toward i
-    depth = jnp.where(box_j & ~box_i, depth_jb,
-                      jnp.where(box_i & ~box_j, depth_ib, depth_ss))
-    normal = jnp.where((box_j & ~box_i)[..., None], n_jb,
-                       jnp.where((box_i & ~box_j)[..., None], -n_ib, n_ss))
-    # box-box: approximate with center distance vs summed min half extents
-    minhalf_i = jnp.min(di, -1)
-    minhalf_j = jnp.min(dj, -1)
-    cd = jnp.linalg.norm(xi - xj, axis=-1)
-    depth_bb = minhalf_i + minhalf_j - cd
-    n_bb = (xi - xj) / jnp.maximum(cd, _EPS)[..., None]
-    both_box = box_i & box_j
-    depth = jnp.where(both_box, depth_bb, depth)
-    normal = jnp.where(both_box[..., None], n_bb, normal)
+    # single-contact slot for mixed pairs: normal from the box toward the
+    # other body
+    depth1 = jnp.where(box_j & ~box_i, depth_jb,
+                       jnp.where(box_i & ~box_j, depth_ib, depth_ss))
+    normal1 = jnp.where((box_j & ~box_i)[..., None], n_jb,
+                        jnp.where((box_i & ~box_j)[..., None], -n_ib, n_ss))
+    point1 = point_ss  # adequate for positional correction
 
-    point = point_ss  # adequate for positional correction
+    # box-box: SAT + 4-point corner manifold (Bullet parity for resting
+    # skirt/stack rigs; the old min-half-extent center proxy both missed
+    # face-to-face contact on elongated boxes and could never balance
+    # one). The subset is STATIC (shapes are rig constants): rigs without
+    # box-box pairs keep M=1 rows and skip the SAT entirely.
+    sh_np = np.asarray(ps.shape)
+    bb = np.nonzero((sh_np[ps.pair_i] == P.SHAPE_BOX)
+                    & (sh_np[ps.pair_j] == P.SHAPE_BOX))[0]
+    if len(bb) == 0:
+        return point1[:, None, :], normal1[:, None, :], depth1[:, None]
+
+    pm, nm, dm = _box_box_manifold(xi[bb], qi[bb], di[bb],
+                                   xj[bb], qj[bb], dj[bb])
+    k = depth1.shape[0]
+    depth = jnp.concatenate(
+        [depth1[:, None],
+         jnp.full((k, PAIR_MANIFOLD - 1), _NO_CONTACT, jnp.float32)], 1)
+    point = jnp.broadcast_to(point1[:, None, :],
+                             (k, PAIR_MANIFOLD, 3))
+    normal = jnp.broadcast_to(normal1[:, None, :],
+                              (k, PAIR_MANIFOLD, 3))
+    bbj = jnp.asarray(bb)
+    depth = depth.at[bbj].set(dm)
+    point = point.at[bbj].set(pm)
+    normal = normal.at[bbj].set(nm)
     return point, normal, depth
 
 
 def ground_contacts(ps: PhysicsStatic, pos, quat):
-    """Contacts against the static y=0 plane (mmd-bullet_impl.inl:76-88).
-    Returns per-body (depth, point): depth>0 when penetrating."""
+    """Manifold contacts against the static y=0 plane
+    (mmd-bullet_impl.inl:76-88). Returns (depth [R,G], point [R,G,3]),
+    deepest slot first, signed depths. Boxes contribute their 4 deepest
+    corners (a resting box is torque-balanced like Bullet's 4-point
+    manifold), capsules both axis endpoints (a lying capsule rests flat),
+    spheres their center point."""
     shape = jnp.asarray(ps.shape)
     dims = jnp.asarray(ps.dims)
     r = _sphere_rad(shape, dims)
-    a0, a1 = _capsule_segment(dims, pos, quat)
-    is_cap = (shape == P.SHAPE_CAPSULE)
-    low_end = jnp.where((a0[..., 1] < a1[..., 1])[..., None], a0, a1)
-    p = jnp.where(is_cap[..., None], low_end, pos)
-    # boxes: deepest corner
+    is_cap = shape == P.SHAPE_CAPSULE
     is_box = shape == P.SHAPE_BOX
-    corners = jnp.asarray(
-        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-        jnp.float32)  # [8,3]
+    is_sph = ~is_cap & ~is_box
+
+    # candidates: 8 box corners + 2 capsule endpoints + 1 sphere center
+    corners = jnp.asarray(_CORNER_SIGNS)
     local = corners[None, :, :] * dims[:, None, :]
     world = m3.quat_rotate(quat[:, None, :], local) + pos[:, None, :]
-    deepest = jnp.argmin(world[..., 1], axis=-1)
-    corner = jnp.take_along_axis(world, deepest[:, None, None], 1)[:, 0]
-    p = jnp.where(is_box[..., None], corner, p)
-    eff_r = jnp.where(is_box, 0.0, r)
-    depth = eff_r - p[..., 1]
-    point = p.at[..., 1].set(0.0)
+    d_box = -world[..., 1]                                       # [R,8]
+    a0, a1 = _capsule_segment(dims, pos, quat)
+    ends = jnp.stack([a0, a1], 1)                                # [R,2,3]
+    d_cap = r[:, None] - ends[..., 1]
+    d_sph = (r - pos[..., 1])[:, None]                           # [R,1]
+
+    cand_p = jnp.concatenate([world, ends, pos[:, None, :]], 1)  # [R,11,3]
+    cand_d = jnp.concatenate(
+        [jnp.where(is_box[:, None], d_box, _NO_CONTACT),
+         jnp.where(is_cap[:, None], d_cap, _NO_CONTACT),
+         jnp.where(is_sph[:, None], d_sph, _NO_CONTACT)], 1)
+    depth, idx = jax.lax.top_k(cand_d, GROUND_MANIFOLD)          # [R,G]
+    point = jnp.take_along_axis(cand_p, idx[..., None], 1)
+    # point keeps its real y (the contact FEATURE on the body, not its
+    # plane projection): the solver re-derives each slot's penetration per
+    # iteration from the feature's current world height, which tracks
+    # rotation-induced motion the old center-translation update missed
     return depth, point
 
 
@@ -529,19 +648,45 @@ def _apply_position_corrections(ps, pos, quat, idx_a, idx_b, n, c, r_a, r_b,
 
 def _apply_ground_correction(ps, pos, quat, n, c, r, dt, iiw):
     """Positional correction against the static ground (an infinite-mass
-    virtual body): one contact per body, so corrections apply directly with
-    no incidence aggregation. Resolving at the contact anchor `r` (world,
-    from body origin) gives the inertia-weighted torque Bullet's
-    point-manifold solver produces — a leaning capsule topples instead of
-    levitating on a pure center translation (r2 VERDICT weak #5)."""
+    virtual body): per-body manifold rows ([R,G] violations, [R,G,3]
+    normals/anchors) apply directly with no incidence aggregation — the
+    caller pre-divides violations by the active slot count so the summed
+    translation matches a single full-depth contact while the per-anchor
+    torques balance. Resolving at the contact anchors gives the
+    inertia-weighted torque Bullet's 4-point manifolds produce — a leaning
+    capsule topples and a resting box stays flat instead of rocking on
+    one corner (r2 weak #5 / r3 weak #3)."""
     inv_m = jnp.asarray(ps.inv_mass)
-    r_x_n = jnp.cross(r, n)
-    w = inv_m + jnp.einsum("ki,kij,kj->k", r_x_n, iiw, r_x_n)
-    lam = -c / jnp.maximum(w, _EPS)
-    p = lam[..., None] * n
-    pos = pos + p * inv_m[..., None]
-    dw = jnp.einsum("kij,kj->ki", iiw, jnp.cross(r, p))
+    r_x_n = jnp.cross(r, n)                                   # [R,G,3]
+    w = inv_m[:, None] + jnp.einsum("kgi,kij,kgj->kg", r_x_n, iiw, r_x_n)
+    lam = -c / jnp.maximum(w, _EPS)                           # [R,G]
+    p = lam[..., None] * n                                    # [R,G,3]
+    pos = pos + jnp.sum(p, 1) * inv_m[..., None]
+    dw = jnp.einsum("kij,kj->ki", iiw, jnp.sum(jnp.cross(r, p), 1))
     return pos, _apply_small_rotation(quat, dw)
+
+
+def _apply_velocity_corrections(ps, vel, omega, idx_a, idx_b, n, dv, r_a,
+                                r_b, scat, iiw):
+    """Velocity-level impulse rows (same Jacobi incidence aggregation as
+    _apply_position_corrections, acting on velocities): drive each row's
+    relative contact-point normal velocity by dv along n, with anchors r
+    from the body origins."""
+    inv_m = jnp.asarray(ps.inv_mass)
+    s_a, s_b = scat
+    ra_x_n = jnp.cross(r_a, n)
+    rb_x_n = jnp.cross(r_b, n)
+    w_a = inv_m[idx_a] + jnp.einsum("ki,kij,kj->k", ra_x_n, iiw[idx_a], ra_x_n)
+    w_b = inv_m[idx_b] + jnp.einsum("ki,kij,kj->k", rb_x_n, iiw[idx_b], rb_x_n)
+    lam = dv / jnp.maximum(w_a + w_b, _EPS)
+    p = lam[..., None] * n
+    dvel_a = p * inv_m[idx_a][..., None]
+    dvel_b = -p * inv_m[idx_b][..., None]
+    dw_a = jnp.einsum("kij,kj->ki", iiw[idx_a], jnp.cross(r_a, p))
+    dw_b = -jnp.einsum("kij,kj->ki", iiw[idx_b], jnp.cross(r_b, p))
+    acc = s_a @ jnp.concatenate([dvel_a, dw_a], -1) \
+        + s_b @ jnp.concatenate([dvel_b, dw_b], -1)
+    return vel + acc[:, :3], omega + acc[:, 3:]
 
 
 def _apply_small_rotation(quat, w):
@@ -652,56 +797,83 @@ def _contact_pass(ps: PhysicsStatic, pos, quat, cfg, dt, cache,
     iteration's normal correction) — the XPBD positional Coulomb model."""
     inv_m = jnp.asarray(ps.inv_mass)
     fric = jnp.asarray(ps.friction)
-    (c_point, c_n, c_depth0, g_depth0, g_point) = cache
-    # pairwise
+    (c_point, c_n, c_depth0, c_la, c_lb, g_depth0, g_point, g_l,
+     g_reff) = cache
+    # pairwise: [K, M] manifold slots flattened slot-major to [M*K] rows;
+    # violations are pre-divided by each pair's active slot count so a
+    # 4-point resting face translates like one full-depth contact while the
+    # per-anchor torques balance. Penetration is re-derived each iteration
+    # from the localized anchors' CURRENT world positions (rotation-aware:
+    # a corner push that rotates the body lifts that corner).
     if len(ps.pair_i):
-        i = jnp.asarray(ps.pair_i)
-        j = jnp.asarray(ps.pair_j)
-        moved = jnp.sum(c_n * ((pos[i] - pos_detect[i])
-                               - (pos[j] - pos_detect[j])), -1)
-        depth = jnp.maximum(c_depth0 - moved, 0.0)
-        scat = (jnp.asarray(ps.s_pair_a), jnp.asarray(ps.s_pair_b))
-        r_a = c_point - pos[i]
-        r_b = c_point - pos[j]
+        m_slots = c_depth0.shape[1]
+        i = jnp.tile(jnp.asarray(ps.pair_i), m_slots)
+        j = jnp.tile(jnp.asarray(ps.pair_j), m_slots)
+        n_f = jnp.transpose(c_n, (1, 0, 2)).reshape(-1, 3)
+        p_f = jnp.transpose(c_point, (1, 0, 2)).reshape(-1, 3)
+        d0_f = c_depth0.T.reshape(-1)
+        la_f = jnp.transpose(c_la, (1, 0, 2)).reshape(-1, 3)
+        lb_f = jnp.transpose(c_lb, (1, 0, 2)).reshape(-1, 3)
+        pt_a = pos[i] + m3.quat_rotate(quat[i], la_f)
+        pt_b = pos[j] + m3.quat_rotate(quat[j], lb_f)
+        # anchors coincided at detection (pt_a = pt_b = c_point), so the
+        # separation gained since then is n . (pt_a - pt_b)
+        depth_raw = d0_f - jnp.sum(n_f * (pt_a - pt_b), -1)
+        act = (depth_raw > 0).reshape(m_slots, -1)
+        inv_act = jnp.tile(
+            1.0 / jnp.maximum(jnp.sum(act.astype(jnp.float32), 0), 1.0),
+            m_slots)
+        depth = jnp.maximum(depth_raw, 0.0) * inv_act
+        scat = (jnp.tile(jnp.asarray(ps.s_pair_a), (1, m_slots)),
+                jnp.tile(jnp.asarray(ps.s_pair_b), (1, m_slots)))
+        r_a = pt_a - pos[i]
+        r_b = pt_b - pos[j]
         pos, quat = _apply_position_corrections(
-            ps, pos, quat, i, j, c_n, -depth, r_a, r_b,
+            ps, pos, quat, i, j, n_f, -depth, r_a, r_b,
             jnp.zeros_like(depth), scat, dt, iiw=iiw)
         # friction: combined mu = mu_i * mu_j (Bullet's combination rule)
         mu = fric[i] * fric[j]
         rel = (pos[i] - pos_prev[i]) - (pos[j] - pos_prev[j])
-        t_vec = rel - jnp.sum(rel * c_n, -1, keepdims=True) * c_n
+        t_vec = rel - jnp.sum(rel * n_f, -1, keepdims=True) * n_f
         t_len = jnp.linalg.norm(t_vec, axis=-1)
         t_dir = t_vec / jnp.maximum(t_len, _EPS)[..., None]
-        corr = jnp.minimum(t_len, mu * depth)
+        corr = jnp.minimum(t_len * inv_act, mu * depth)
         corr = jnp.where(depth > 0, corr, 0.0)
         pos, quat = _apply_position_corrections(
             ps, pos, quat, i, j, t_dir, corr, r_a, r_b,
             jnp.zeros_like(corr), scat, dt, iiw=iiw)
-    # ground plane: depth shrinks as the body rises; resolved AT THE CONTACT
-    # POINT with inertia weighting (Bullet resolves manifold points; a pure
-    # center translation could never topple a leaning body)
-    depth = g_depth0 - (pos[:, 1] - pos_detect[:, 1])
+    # ground plane: [R, G] manifold slots resolved AT THE CONTACT POINTS
+    # with inertia weighting (Bullet resolves manifold points; a pure
+    # center translation could never topple a leaning body, and a single
+    # point could never rest a flat box). Per-iteration depth comes from
+    # each feature's current world height.
+    feat = pos[:, None, :] + m3.quat_rotate(quat[:, None, :], g_l)
+    depth = g_reff - feat[..., 1]
     depth = jnp.where(cfg.has_floor, jnp.maximum(depth, 0.0), 0.0)
     dyn = inv_m > 0
-    push = jnp.where(dyn, depth, 0.0)
+    inv_act_g = 1.0 / jnp.maximum(
+        jnp.sum((depth > 0).astype(jnp.float32), 1), 1.0)
+    push = jnp.where(dyn[:, None], depth, 0.0) * inv_act_g[:, None]
     n_up = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
-                            pos.shape)
-    r_g = g_point - pos_detect     # anchor fixed at detection, like pairs
+                            push.shape + (3,))
+    r_g = feat - pos[:, None, :]
     if iiw is None:
         iiw = _inv_inertia_world(ps, quat)
     pos, quat = _apply_ground_correction(ps, pos, quat, n_up, -push, r_g,
                                          dt, iiw)
     # ground friction (reference plane friction 0.265, mmd-bullet_impl.inl:88)
-    # at the same anchor: tangential center drift cancelled, Coulomb-capped
-    # at mu * (normal correction at the point)
+    # at the same anchors: tangential center drift cancelled, Coulomb-capped
+    # at mu * (normal correction at each point)
     mu_g = fric * cfg.floor_friction
     slide = (pos - pos_prev) * jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
     s_len = jnp.linalg.norm(slide, axis=-1)
-    s_dir = slide / jnp.maximum(s_len, _EPS)[..., None]
-    g_corr = jnp.minimum(s_len, mu_g * push)
-    g_corr = jnp.where((push > 0) & dyn, g_corr, 0.0)
-    pos, quat = _apply_ground_correction(ps, pos, quat, s_dir, g_corr, r_g,
-                                         dt, iiw)
+    s_dir = slide / jnp.maximum(s_len, _EPS)[..., None]        # [R,3]
+    g_corr = jnp.minimum(s_len[:, None] * inv_act_g[:, None],
+                         mu_g[:, None] * push)
+    g_corr = jnp.where((push > 0) & dyn[:, None], g_corr, 0.0)
+    pos, quat = _apply_ground_correction(
+        ps, pos, quat, jnp.broadcast_to(s_dir[:, None, :], r_g.shape),
+        g_corr, r_g, dt, iiw)
     return pos, quat
 
 
@@ -725,13 +897,32 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
     # narrowphase once per substep (Bullet-style); iterations reuse the set
     if len(ps.pair_i):
         c_point, c_n, c_depth0 = pair_contacts(ps, pos, quat)
+        pi_d = jnp.asarray(ps.pair_i)
+        pj_d = jnp.asarray(ps.pair_j)
+        # contact anchors localized into each body: iterations re-derive
+        # penetration from the anchors' CURRENT world positions, so
+        # rotation-induced anchor motion is tracked (a corner push that
+        # rotates the body reduces that corner's depth — the old
+        # center-translation-only update kept pushing and spun boxes up)
+        c_la = m3.quat_rotate(m3.quat_conj(quat[pi_d])[:, None, :],
+                              c_point - pos[pi_d][:, None, :])
+        c_lb = m3.quat_rotate(m3.quat_conj(quat[pj_d])[:, None, :],
+                              c_point - pos[pj_d][:, None, :])
     else:
-        z3 = jnp.zeros((0, 3), jnp.float32)
-        c_point, c_n, c_depth0 = z3, z3, jnp.zeros((0,), jnp.float32)
+        z3 = jnp.zeros((0, 1, 3), jnp.float32)
+        c_point, c_n, c_depth0 = z3, z3, jnp.zeros((0, 1), jnp.float32)
+        c_la = c_lb = z3
     g_depth0, g_point = ground_contacts(ps, pos, quat)
+    g_l = m3.quat_rotate(m3.quat_conj(quat)[:, None, :],
+                         g_point - pos[:, None, :])
+    # effective contact radius per slot (depth = r_eff - feature_y):
+    # 0 for box corners, r for sphere/capsule features; -1e9-masked slots
+    # stay hugely negative through any motion
+    g_reff = g_depth0 + g_point[..., 1]
     # keep signed depths: separated pairs must stay negative or they act as
     # phantom touching contacts the moment anything moves along the normal
-    cache = (c_point, c_n, c_depth0, g_depth0, g_point)
+    cache = (c_point, c_n, c_depth0, c_la, c_lb, g_depth0, g_point, g_l,
+             g_reff)
     pos_detect = pos
 
     # world inverse inertia once per substep (bodies rotate by ~omega*dt
@@ -757,43 +948,81 @@ def physics_substep(ps: PhysicsStatic, state: PhysicsState, target_pos,
     sign = jnp.sign(dq[..., 3:4])
     omega_new = 2.0 * dq[..., :3] * sign / dt
 
-    # restitution (velocity level, after the position solve): outgoing normal
-    # velocity at active contacts is raised to -e * (incoming normal
-    # velocity), e combined multiplicatively like Bullet. A threshold of
-    # 2*g*dt suppresses resting-contact micro-bounce.
+    # contact velocity pass (the XPBD velocity step / Bullet's split
+    # impulse): (pos - pos0)/dt converts the position solve's penetration
+    # push-out into outgoing velocity, which CATAPULTS deeply-corrected
+    # bodies (a resting tilted capsule bounced meters high). At every
+    # active contact the normal velocity AT THE CONTACT POINT is reset to
+    # the restitution target max(0, -e * v_n_pre) — 0 for resting contact
+    # (e = 0 or approach below threshold), an exact elastic rebound
+    # otherwise. e combines multiplicatively like Bullet
+    # (btManifoldResult::calculateCombinedRestitution); the 2*g*dt
+    # threshold suppresses resting micro-bounce. Tangential velocity is
+    # untouched (friction is positional), angular response comes from the
+    # inertia-weighted impulse at the anchor.
     e_body = jnp.asarray(ps.restitution)
     g_mag = jnp.linalg.norm(g) + _EPS
     thresh = 2.0 * g_mag * dt
-    c_point, c_n, c_depth0, g_depth0, _ = cache
+    (c_point, c_n, c_depth0, _, _, g_depth0, g_point, _, _) = cache
+    iiw_post = _inv_inertia_world(ps, quat)
+
+    # ground rows [R,G] (infinite-mass plane: direct application)
     e_gnd = e_body * getattr(cfg, "floor_restitution", 0.0)
-    gv_in = vel[:, 1]                       # pre-solve approach velocity
-    g_active = (g_depth0 > 0) & (gv_in < -thresh) & (e_gnd > 0) & dyn[:, 0]
-    g_target = -e_gnd * gv_in
-    vel_new = vel_new.at[:, 1].set(
-        jnp.where(g_active, jnp.maximum(vel_new[:, 1], g_target),
-                  vel_new[:, 1]))
+    r_g = g_point - pos_detect[:, None, :]
+    v_pre_g = vel[:, None, 1] + jnp.cross(omega[:, None, :], r_g)[..., 1]
+    target_g = jnp.where((v_pre_g < -thresh) & (e_gnd[:, None] > 0),
+                         -e_gnd[:, None] * v_pre_g, 0.0)
+    act_g = (g_depth0 > 0) & dyn & cfg.has_floor
+    inv_act_g = 1.0 / jnp.maximum(jnp.sum(act_g.astype(jnp.float32), 1), 1.0)
+    rxn_g = jnp.cross(r_g, jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32), r_g.shape))
+    w_g = inv_m[:, None] + jnp.einsum("kgi,kij,kgj->kg", rxn_g, iiw_post,
+                                      rxn_g)
+
+    def ground_vel_iter(_, vw):
+        v, w = vw
+        v_n = v[:, None, 1] + jnp.cross(w[:, None, :], r_g)[..., 1]
+        dvn = jnp.where(act_g, (target_g - v_n) * inv_act_g[:, None], 0.0)
+        lam = dvn / jnp.maximum(w_g, _EPS)
+        v = v.at[:, 1].add(jnp.sum(lam, 1) * inv_m)
+        dw = jnp.einsum("kij,kj->ki", iiw_post,
+                        jnp.sum(rxn_g * lam[..., None], 1))
+        return v, w + dw
+
+    vel_new, omega_new = jax.lax.fori_loop(0, 4, ground_vel_iter,
+                                           (vel_new, omega_new))
+
     if len(ps.pair_i):
-        i = jnp.asarray(ps.pair_i)
-        j = jnp.asarray(ps.pair_j)
+        m_slots = c_depth0.shape[1]
+        i = jnp.tile(jnp.asarray(ps.pair_i), m_slots)
+        j = jnp.tile(jnp.asarray(ps.pair_j), m_slots)
+        n_f = jnp.transpose(c_n, (1, 0, 2)).reshape(-1, 3)
+        p_f = jnp.transpose(c_point, (1, 0, 2)).reshape(-1, 3)
+        d0_f = c_depth0.T.reshape(-1)
+        r_a = p_f - pos_detect[i]
+        r_b = p_f - pos_detect[j]
         e_pair = e_body[i] * e_body[j]
-        v_in = jnp.sum(c_n * (vel[i] - vel[j]), -1)
-        active = (c_depth0 > 0) & (v_in < -thresh) & (e_pair > 0)
-        target = jnp.where(active, -e_pair * v_in, -jnp.inf)
-        w_i, w_j = inv_m[i], inv_m[j]
-        w_sum = jnp.maximum(w_i + w_j, _EPS)
-        s_pa = jnp.asarray(ps.s_pair_a)
-        s_pb = jnp.asarray(ps.s_pair_b)
+        v_pre = jnp.sum(n_f * ((vel[i] + jnp.cross(omega[i], r_a))
+                               - (vel[j] + jnp.cross(omega[j], r_b))), -1)
+        target = jnp.where((v_pre < -thresh) & (e_pair > 0),
+                           -e_pair * v_pre, 0.0)
+        act = d0_f > 0
+        inv_act = 1.0 / jnp.maximum(
+            jnp.sum((c_depth0 > 0).astype(jnp.float32), 1), 1.0)
+        inv_act = jnp.tile(inv_act, m_slots)
+        scat = (jnp.tile(jnp.asarray(ps.s_pair_a), (1, m_slots)),
+                jnp.tile(jnp.asarray(ps.s_pair_b), (1, m_slots)))
 
-        # Jacobi-averaged velocity corrections under-apply by the per-body
-        # pair count, so iterate: the residual deficit shrinks geometrically
-        def rest_iter(_, v):
-            v_out = jnp.sum(c_n * (v[i] - v[j]), -1)
-            deficit = jnp.maximum(target - v_out, 0.0)
-            dv = deficit[..., None] * c_n
-            return (v + s_pa @ (dv * (w_i / w_sum)[..., None])
-                    - s_pb @ (dv * (w_j / w_sum)[..., None]))
+        def pair_vel_iter(_, vw):
+            v, w = vw
+            v_n = jnp.sum(n_f * ((v[i] + jnp.cross(w[i], r_a))
+                                 - (v[j] + jnp.cross(w[j], r_b))), -1)
+            dvn = jnp.where(act, (target - v_n) * inv_act, 0.0)
+            return _apply_velocity_corrections(ps, v, w, i, j, n_f, dvn,
+                                               r_a, r_b, scat, iiw_post)
 
-        vel_new = jax.lax.fori_loop(0, 4, rest_iter, vel_new)
+        vel_new, omega_new = jax.lax.fori_loop(0, 4, pair_vel_iter,
+                                               (vel_new, omega_new))
 
     vel = jnp.where(dyn, vel_new, 0.0)
     omega = jnp.where(dyn, omega_new, 0.0)

@@ -388,3 +388,80 @@ def test_tilted_capsule_topples():
         f"{up0[1]:.3f})"
     # and came to rest near the floor rather than sinking/exploding
     assert -0.5 < float(state.pos[0, 1]) < 1.0
+
+
+def test_tilted_box_rests_flat():
+    """Box-floor contacts are 4-corner manifolds (r3 VERDICT weak #3): a
+    box dropped slightly tilted settles FLAT on the floor — torque-balanced
+    on its face like Bullet's persistent manifold — without sinking below
+    its rest height or jittering. The old single-deepest-corner contact
+    could only rock on one corner."""
+    tilt = np.deg2rad(12.0)
+    pm, static, ps, pose = _setup(
+        [_body("box", -1, shape=P.SHAPE_BOX, dims=(1.0, 0.5, 1.5),
+               pos=(0, 1.6, 0), rot=(0, 0, tilt), mask=0, friction=0.8)])
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose)
+    step = _jit_react(static, ps, cfg)
+    for _ in range(90):                      # 3 s
+        state, pose = step(state, pose)
+    up = np.asarray(m3.quat_rotate(state.quat[0],
+                                   jnp.asarray([0.0, 1.0, 0.0])))
+    assert up[1] > 0.99, f"box did not settle flat: up_y={up[1]}"
+    # rest height = the y half extent; no sinking, no levitation
+    assert abs(float(state.pos[0, 1]) - 0.5) < 0.08, \
+        f"rest height {float(state.pos[0, 1])} (expected 0.5)"
+    # at rest: near-zero residual motion over a further second
+    ys = []
+    for _ in range(30):
+        state, pose = step(state, pose)
+        ys.append(float(state.pos[0, 1]))
+    assert max(ys) - min(ys) < 0.02, f"resting box jitters: {ys[:8]}"
+
+
+def test_elongated_boxes_contact_at_face_distance():
+    """Box-box SAT manifold (r3 VERDICT weak #3): a tall box dropped onto a
+    kinematic tall box along their LONG axes must rest at face distance
+    (center gap = sum of the y half extents). The old min-half-extent
+    center-distance proxy only detected contact once the centers were
+    within the sum of the THINNEST half extents — here 2.0 of the needed
+    4.0 — so the falling box sank halfway into the other."""
+    bodies = [
+        _body("pillar", 0, shape=P.SHAPE_BOX, dims=(1.0, 2.0, 1.0),
+              pos=(0, 2.0, 0), btype=P.RIGID_KINEMATIC, mass=0.0),
+        _body("stack", -1, shape=P.SHAPE_BOX, dims=(1.0, 2.0, 1.0),
+              pos=(0, 7.0, 0), mass=1.0, friction=0.8),
+    ]
+    pm, static, ps, pose = _setup(bodies)
+    assert len(ps.pair_i) == 1
+    cfg = PhysicsConfig(has_floor=False)
+    state = PH.physics_reset(ps, pose)
+    step = _jit_react(static, ps, cfg)
+    for _ in range(120):                     # 4 s
+        state, pose = step(state, pose)
+    y = float(state.pos[1, 1])
+    # face contact: pillar top at y=4, stack half extent 2 -> center at 6
+    assert abs(y - 6.0) < 0.15, f"stacked box rests at {y}, expected 6.0"
+    up = np.asarray(m3.quat_rotate(state.quat[1],
+                                   jnp.asarray([0.0, 1.0, 0.0])))
+    assert up[1] > 0.98, f"stacked box tipped: up_y={up[1]}"
+
+
+def test_lying_capsule_rests_level():
+    """Capsule-floor contacts carry both axis endpoints: a capsule lying
+    horizontally rests level instead of see-sawing on whichever endpoint
+    the single-contact picked."""
+    pm, static, ps, pose = _setup(
+        [_body("cap", -1, shape=P.SHAPE_CAPSULE, dims=(0.3, 2.0, 0),
+               pos=(0, 0.5, 0), rot=(0, 0, np.pi / 2), mask=0,
+               friction=0.8)])
+    cfg = PhysicsConfig()
+    state = PH.physics_reset(ps, pose)
+    step = _jit_react(static, ps, cfg)
+    for _ in range(60):
+        state, pose = step(state, pose)
+    # long axis (local Y, rotated to world X) stays horizontal
+    axis = np.asarray(m3.quat_rotate(state.quat[0],
+                                     jnp.asarray([0.0, 1.0, 0.0])))
+    assert abs(axis[1]) < 0.1, f"lying capsule tilted: axis_y={axis[1]}"
+    assert abs(float(state.pos[0, 1]) - 0.3) < 0.08
