@@ -146,10 +146,11 @@ def main():
                   Scene(static16, ps16, mo16, cfg_tex,
                         part_textures=tex16), 30)
 
-        # the same load with the resident mip mini-atlas (PARITY.md D7:
-        # per-part needed-level texturing, detail capped at the slot size):
-        # per-frame level copies keep the gather table at the measured
-        # ~17 MB sweet spot instead of the 401 MB full mip chain
+        # the same load with the resident mip mini-atlas (per-part
+        # needed-level texturing — EXACT since r4: capped frames fall back
+        # to the big atlas via lax.cond, PARITY.md D7): per-frame level
+        # copies keep the gather table at the measured ~17 MB sweet spot
+        # instead of the 401 MB full mip chain
         import dataclasses
         cfg_res = AppConfig()
         cfg_res.render = dataclasses.replace(cfg_tex.render, texture_mips=6,
@@ -158,6 +159,20 @@ def main():
                   "at 1920x1080",
                   Scene(static16, ps16, mo16, cfg_res,
                         part_textures=tex16), 30)
+
+        # large-mesh stress: 56k verts / 107k tris at 1080p (real stage /
+        # detailed character scale — the r3 VERDICT's below-bar row; the
+        # reference's reader is size-agnostic, pmx_reader_impl.inl:50-110)
+        pm4 = sample_character(density=4.0)
+        static4 = model_mod.build_model(pm4)
+        mo4 = anim_mod.bind_motion(static4, sample_motion(240, fps_keys=5))
+        ps4 = phys_mod.build_physics(static4)
+        cfg4 = AppConfig()
+        cfg4.render = RenderConfig(width=width, height=height,
+                                   shadow_map_size=shadow,
+                                   show_skybox=False)
+        secondary("large mesh 56k verts / 107k tris at 1920x1080",
+                  Scene(static4, ps4, mo4, cfg4), 30)
 
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu

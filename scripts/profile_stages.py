@@ -339,6 +339,65 @@ def main():
             cfg.render, mats["view"] + c * 1e-20, mats["proj"], width, height)
         return jnp.mean(depth)
 
+    # shadow-space PCF lit map + the downsampled screen lookup (the
+    # ground's shadow-receive cost in render_frame)
+    from simple_mmd_renderer_tpu.render import shade as shade_mod
+    sm_fixed = jax.block_until_ready(
+        pl_mod.shadow_pass(verts_m, tris, mats["light_mvp"],
+                           cfg.render.shadow_map_size,
+                           tr.rasterize_tiled if on_tpu else None))
+
+    @stage("ground_lit")
+    def _(c):
+        lit_map = shade_mod.ground_lit_map(sm_fixed + c * 1e-20,
+                                           mats["light_vp"])
+        ds = max(int(cfg.render.shadow_lookup_downsample), 1)
+        lw, lh = width // ds, height // ds
+        _, gpos_lo, _ = pl_mod.ground_pass(cfg.render, mats["view"],
+                                           mats["proj"], lw, lh)
+        lclip = raster.transform_clip(
+            gpos_lo.reshape(-1, 3), mats["light_vp"]).reshape(lh, lw, 4)
+        lit_lo = shade_mod.ground_shadow_lookup(lclip, lit_map,
+                                                jnp.asarray(True))
+        lit = jax.image.resize(lit_lo, (height, width, 1), "linear")
+        return jnp.mean(lit)
+
+    @stage("ground_lit_map_only")
+    def _(c):
+        lit_map = shade_mod.ground_lit_map(sm_fixed + c * 1e-20,
+                                           mats["light_vp"])
+        return jnp.mean(lit_map)
+
+    @stage("ground_lookup_resize")
+    def _(c):
+        lit_map = sm_fixed + c * 1e-20   # stand-in map, same shape
+        ds = max(int(cfg.render.shadow_lookup_downsample), 1)
+        lw, lh = width // ds, height // ds
+        _, gpos_lo, _ = pl_mod.ground_pass(cfg.render, mats["view"],
+                                           mats["proj"], lw, lh)
+        lclip = raster.transform_clip(
+            gpos_lo.reshape(-1, 3), mats["light_vp"]).reshape(lh, lw, 4)
+        lit_lo = shade_mod.ground_shadow_lookup(lclip, lit_map,
+                                                jnp.asarray(True))
+        lit = jax.image.resize(lit_lo, (height, width, 1), "linear")
+        return jnp.mean(lit)
+
+    @stage("shade_char")
+    def _(c):
+        nrm_px = jnp.ones((height, width, 3), jnp.float32) * 0.577 + c * 1e-20
+        wp = jnp.zeros((height, width, 3), jnp.float32)
+        col = shade_mod.shade_character(
+            jnp.ones((height, width, 3), jnp.float32), nrm_px, wp,
+            jnp.asarray(cfg.render.camera_pos, jnp.float32), cfg.render)
+        return jnp.mean(col)
+
+    @stage("unproject")
+    def _(c):
+        d = jnp.full((height, width), 0.5, jnp.float32) + c * 1e-20
+        wp = pl_mod.unproject_depth(d, mats["proj"] @ mats["view"],
+                                    width, height)
+        return jnp.mean(wp)
+
     sel = sys.argv[1:] or list(stages)
     print(f"# backend={jax.default_backend()} {width}x{height} "
           f"shadow={shadow} verts={len(static.positions)} "

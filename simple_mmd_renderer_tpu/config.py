@@ -71,10 +71,16 @@ class RenderConfig:
     # with texture_mips > 1: per frame, copy each part's needed mip level
     # into a fixed mini-atlas sized under the TPU gather-table cliff
     # (tables <= ~8 MB gather ~2x faster than any larger table —
-    # scripts/bench_gather_size.py). Caps per-part resident detail at the
-    # slot size when magnified (PARITY.md D7). 0 = off, 1/True = auto slot
+    # scripts/bench_gather_size.py). EXACT: frames where any part would
+    # need a finer level than its slot holds (magnification) fall back to
+    # sampling the big atlas via lax.cond, so output always matches
+    # texture_resident=0 (PARITY.md D7 closed). ON by default — it is a
+    # pure fast path; degrades to off when the mip chain is too shallow
+    # for the slot. 0 = off, 1/True = auto slot
     # (render.pipeline.resident_slot_size), >=64 = explicit slot edge.
-    texture_resident: int = 0
+    # Single-instance renders only (the fused crowd path samples the mip
+    # atlas directly; crowd_render_supported).
+    texture_resident: int = 1
     # shadow raster restricted to the casters' tile bbox
     # (ops/tiled_raster.rasterize_depth_tiled_window). MEASURED NEUTRAL at
     # the bench scene (3.33 vs 3.44 ms full; short 8 px tiles regress to

@@ -640,18 +640,21 @@ def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 9))
 def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
                                cull=raster.CULL_BACK, e_max=9, chunk=256,
-                               nocull=None, compact=True):
+                               nocull=None, compact=True, cv=None, va=None):
     """4x-MSAA raster: center visibility + attributes like
     rasterize_attrs_tiled, PLUS per-sample depth [4, H, W] at the standard
     rotated-grid offsets. A sample is covered iff its depth < 1.0.
 
     Big-triangle fallback approximates all four samples with the center
-    result (oversized triangles are interior-dominated)."""
-    g = jnp.concatenate([clip, attrs], -1)[tris]
-    s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4],
+    result (oversized triangles are interior-dominated). `cv`/`va`: see
+    rasterize_attrs_tiled."""
+    if cv is None:
+        g = jnp.concatenate([clip, attrs], -1)[tris]
+        cv, va = g[..., :4], g[..., 4:]
+    s = raster.setup(clip, tris, width, height, cull, cv=cv,
                      sample_extent=0.375, nocull=nocull)
     s["tris_v"] = tris
-    s["va"] = g[..., 4:]
+    s["va"] = va
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
     if compact and tris.shape[0] >= COMPACT_MIN_T:
         def run(sorted_rows, starts, counts):
@@ -950,10 +953,13 @@ def rasterize_depth_tiled_window(clip, tris, width, height,
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 8))
 def rasterize_depth_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
-                          e_max=9, chunk=256, nocull=None, compact=True):
+                          e_max=9, chunk=256, nocull=None, compact=True,
+                          cv=None):
     """Depth-only binned rasterization (shadow maps): returns [H, W] depth
-    with the same z-test semantics as rasterize_tiled().depth."""
-    s = raster.setup(clip, tris, width, height, cull, nocull=nocull)
+    with the same z-test semantics as rasterize_tiled().depth. `cv` may
+    pass pre-gathered per-corner clip coords [T,3,4] (see
+    rasterize_attrs_tiled) — skips this pass's own 3T-row vertex gather."""
+    s = raster.setup(clip, tris, width, height, cull, cv=cv, nocull=nocull)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
     if compact and tris.shape[0] >= COMPACT_MIN_T:
         def run(sorted_rows, starts, counts):
@@ -1119,19 +1125,25 @@ def rasterize_tiled(clip, tris, width, height, cull=raster.CULL_BACK,
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 9))
 def rasterize_attrs_tiled(clip, tris, attrs, width, height,
                           cull=raster.CULL_BACK, e_max=9, chunk=256,
-                          nocull=None, compact=True):
+                          nocull=None, compact=True, cv=None, va=None):
     """Raster + in-kernel perspective-correct attribute interpolation.
 
     attrs: [V, A] per-vertex attributes. Returns (VisBuffer,
     attr_img [H, W, A]) with zeros on empty pixels. `nocull` [T] exempts
     double-sided triangles from face culling. `compact` enables validity-
-    compacted prefix binning (_bin_prefix) — keep it False under vmap."""
-    # fuse the clip and attribute vertex gathers into one [T,3,4+A] gather
-    g = jnp.concatenate([clip, attrs], -1)[tris]
-    s = raster.setup(clip, tris, width, height, cull, cv=g[..., :4],
+    compacted prefix binning (_bin_prefix) — keep it False under vmap.
+    `cv`/`va` may pass pre-gathered per-corner clip coords [T,3,4] and
+    attributes [T,3,A]: callers rendering several passes over the same
+    triangles (shadow + main) gather the corner table ONCE and transform
+    per pass — the 3T-row vertex gather is this stage's dominant cost."""
+    if cv is None:
+        # fuse the clip and attribute vertex gathers into one [T,3,4+A] one
+        g = jnp.concatenate([clip, attrs], -1)[tris]
+        cv, va = g[..., :4], g[..., 4:]
+    s = raster.setup(clip, tris, width, height, cull, cv=cv,
                      nocull=nocull)
     s["tris_v"] = tris
-    s["va"] = g[..., 4:]
+    s["va"] = va
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32), attrs)
     if compact and tris.shape[0] >= COMPACT_MIN_T:
         def run(sorted_rows, starts, counts):
@@ -1434,21 +1446,33 @@ def _merge_big_depth_crowd(depth, clip, tris, width, height, s, big):
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
-                                cull=raster.CULL_BACK, chunk=256):
+                                cull=raster.CULL_BACK, chunk=256,
+                                cv=None, va=None):
     """Fused multi-instance raster + attribute interpolation.
 
     clip [I,V,4], tris [T,3] (shared topology), attrs [I,V,A] ->
     (VisBuffer with leading instance axis, attr [I,H,W,A]). Binning is
     bbox-limited (_crowd_e_max); oversized triangles merge through the same
     capped scan fallback as the single-instance path. Per-pixel/per-entry
-    semantics identical to rasterize_attrs_tiled."""
-    def per_inst(clip_i, attrs_i):
-        g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
-        s = raster.setup(clip_i, tris, width, height, cull, cv=g[..., :4])
-        s["va"] = g[..., 4:]
-        return s
+    semantics identical to rasterize_attrs_tiled. `cv` [I,T,3,4] /
+    `va` [I,T,3,A] pass pre-gathered corner tables shared with the crowd
+    shadow pass (see crowd_render_frame)."""
+    if cv is None:
+        def per_inst(clip_i, attrs_i):
+            g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
+            s = raster.setup(clip_i, tris, width, height, cull,
+                             cv=g[..., :4])
+            s["va"] = g[..., 4:]
+            return s
 
-    s = jax.vmap(per_inst)(clip, attrs)
+        s = jax.vmap(per_inst)(clip, attrs)
+    else:
+        def per_inst_cv(clip_i, cv_i, va_i):
+            s = raster.setup(clip_i, tris, width, height, cull, cv=cv_i)
+            s["va"] = va_i
+            return s
+
+        s = jax.vmap(per_inst_cv)(clip, cv, va)
     rows = jax.vmap(
         lambda si, ai: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
@@ -1543,19 +1567,30 @@ def _run_kernel_ms_multi(sorted_rows, starts, counts, n_inst, width, height,
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
-                                     cull=raster.CULL_BACK, chunk=256):
+                                     cull=raster.CULL_BACK, chunk=256,
+                                     cv=None, va=None):
     """Fused multi-instance 4x-MSAA raster: per-pixel center visibility +
     attributes plus per-sample depth [I, 4, H, W], semantics identical to
     rasterize_attrs_tiled_msaa per instance (bbox binning; big triangles
-    merge with the center-approximated samples, like the single path)."""
-    def per_inst(clip_i, attrs_i):
-        g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
-        s = raster.setup(clip_i, tris, width, height, cull, cv=g[..., :4],
-                         sample_extent=0.375)
-        s["va"] = g[..., 4:]
-        return s
+    merge with the center-approximated samples, like the single path).
+    `cv`/`va`: see rasterize_attrs_tiled_crowd."""
+    if cv is None:
+        def per_inst(clip_i, attrs_i):
+            g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
+            s = raster.setup(clip_i, tris, width, height, cull,
+                             cv=g[..., :4], sample_extent=0.375)
+            s["va"] = g[..., 4:]
+            return s
 
-    s = jax.vmap(per_inst)(clip, attrs)
+        s = jax.vmap(per_inst)(clip, attrs)
+    else:
+        def per_inst_cv(clip_i, cv_i, va_i):
+            s = raster.setup(clip_i, tris, width, height, cull, cv=cv_i,
+                             sample_extent=0.375)
+            s["va"] = va_i
+            return s
+
+        s = jax.vmap(per_inst_cv)(clip, cv, va)
     rows = jax.vmap(
         lambda si, ai: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32), ai))(s, attrs)
@@ -1638,12 +1673,19 @@ def _run_depth_kernel_multi(sorted_rows, starts, counts, n_inst, width,
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def rasterize_depth_tiled_crowd(clip, tris, width, height,
-                                cull=raster.CULL_FRONT, chunk=256):
+                                cull=raster.CULL_FRONT, chunk=256,
+                                cv=None):
     """Fused multi-instance depth-only raster (crowd shadow maps).
 
-    clip [I,V,4], tris [T,3] -> depth [I,H,W]."""
-    s = jax.vmap(
-        lambda c: raster.setup(c, tris, width, height, cull))(clip)
+    clip [I,V,4], tris [T,3] -> depth [I,H,W]. `cv` [I,T,3,4] passes
+    pre-gathered corner clip coords (see rasterize_attrs_tiled_crowd)."""
+    if cv is None:
+        s = jax.vmap(
+            lambda c: raster.setup(c, tris, width, height, cull))(clip)
+    else:
+        s = jax.vmap(
+            lambda c, cv_i: raster.setup(c, tris, width, height, cull,
+                                         cv=cv_i))(clip, cv)
     rows = jax.vmap(
         lambda si: _setup_rows(
             si, jnp.arange(tris.shape[0], dtype=jnp.int32)))(s)

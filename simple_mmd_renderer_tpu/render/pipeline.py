@@ -83,15 +83,24 @@ def ground_geometry(size):
 def unproject_depth(depth, vp, width, height):
     """[H,W] NDC depth -> [H,W,3] world positions through inv(vp) (the same
     screen mapping as raster.screen_from_clip, inverted). Empty pixels
-    (depth 1.0) unproject to the far plane; callers mask by coverage."""
+    (depth 1.0) unproject to the far plane; callers mask by coverage.
+
+    Evaluated PLANAR (per-row FMAs on [H,W] planes), not as a [H,W,4]
+    stack @ inv.T: a 4-deep lane axis pads to 128 lanes on TPU, so the
+    stacked form relayouts and moves 32x the bytes (~1 ms at 1080p)."""
     inv = jnp.linalg.inv(vp)
-    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
-    p = jnp.stack([jnp.broadcast_to(xs[None, :], depth.shape),
-                   jnp.broadcast_to(ys[:, None], depth.shape),
-                   depth, jnp.ones_like(depth)], -1) @ inv.T
-    return p[..., :3] / jnp.where(jnp.abs(p[..., 3:4]) > 1e-12,
-                                  p[..., 3:4], 1e-12)
+    xs = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0
+          - 1.0)[None, :]
+    ys = (1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+          * 2.0)[:, None]
+
+    def row(i):
+        return (inv[i, 0] * xs + inv[i, 1] * ys + inv[i, 2] * depth
+                + inv[i, 3])
+
+    pw = row(3)
+    pw = jnp.where(jnp.abs(pw) > 1e-12, pw, 1e-12)
+    return jnp.stack([row(0) / pw, row(1) / pw, row(2) / pw], -1)
 
 
 def ground_pass(cfg: RenderConfig, view, proj, width, height):
@@ -101,25 +110,34 @@ def ground_pass(cfg: RenderConfig, view, proj, width, height):
     eye = jnp.asarray(cfg.camera_pos, jnp.float32)
     vp = proj @ view
     inv = jnp.linalg.inv(vp)
-    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
-    ndc_x = jnp.broadcast_to(xs[None, :], (height, width))
-    ndc_y = jnp.broadcast_to(ys[:, None], (height, width))
-    p = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5),
-                   jnp.ones_like(ndc_x)], -1) @ inv.T
-    world = p[..., :3] / jnp.where(jnp.abs(p[..., 3:4]) > 1e-12, p[..., 3:4], 1.0)
-    direction = world - eye
-    dy = direction[..., 1]
+    # planar evaluation throughout (see unproject_depth: a 4-lane stacked
+    # matmul relayouts and moves 32x the bytes on TPU)
+    xs = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0
+          - 1.0)[None, :]
+    ys = (1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+          * 2.0)[:, None]
+
+    def row(i):  # inv @ (x, y, 0.5, 1)
+        return (inv[i, 0] * xs + inv[i, 1] * ys
+                + (inv[i, 2] * 0.5 + inv[i, 3]))
+
+    pw = row(3)
+    pw = jnp.where(jnp.abs(pw) > 1e-12, pw, 1.0)
+    wx, wy, wz = row(0) / pw, row(1) / pw, row(2) / pw
+    dx_, dy, dz_ = wx - eye[0], wy - eye[1], wz - eye[2]
     t = -eye[1] / jnp.where(jnp.abs(dy) > 1e-9, dy, 1e-9)
-    hit = eye + t[..., None] * direction
+    hx = eye[0] + t * dx_
+    hy = eye[1] + t * dy
+    hz = eye[2] + t * dz_
     s = cfg.ground_size
     mask = ((t > 0) & (jnp.abs(dy) > 1e-9)
-            & (jnp.abs(hit[..., 0]) <= s) & (jnp.abs(hit[..., 2]) <= s))
-    hclip = raster.transform_clip(hit.reshape(-1, 3), vp).reshape(
-        height, width, 4)
-    depth = hclip[..., 2] / jnp.where(jnp.abs(hclip[..., 3]) > 1e-9,
-                                      hclip[..., 3], 1.0)
+            & (jnp.abs(hx) <= s) & (jnp.abs(hz) <= s))
+    # clip-space depth of the hit: only rows 2 and 3 of vp are needed
+    cz = vp[2, 0] * hx + vp[2, 1] * hy + vp[2, 2] * hz + vp[2, 3]
+    cw = vp[3, 0] * hx + vp[3, 1] * hy + vp[3, 2] * hz + vp[3, 3]
+    depth = cz / jnp.where(jnp.abs(cw) > 1e-9, cw, 1.0)
     mask = mask & (depth >= 0.0) & (depth <= 1.0)
+    hit = jnp.stack([hx, hy, hz], -1)
     return mask, hit, jnp.where(mask, depth, 1.0)
 
 
@@ -143,9 +161,12 @@ def _pick_raster(cfg, n_tris):
 
 
 def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None,
-                window=False, compact=True):
+                window=False, compact=True, corner_pos=None):
     """Depth-only character raster from the light (front-cull,
-    main.cpp:942)."""
+    main.cpp:942). `corner_pos` [T,3,3] may pass pre-gathered per-corner
+    world positions (shared with the main pass — see render_frame): the
+    light-space clip coords are then computed per corner, skipping this
+    pass's own 3T-row vertex gather (the dominant setup cost)."""
     raster_fn = raster_fn or raster.rasterize
     clip = raster.transform_clip(verts_m, light_mvp)
     if raster_fn is not raster.rasterize:
@@ -160,10 +181,12 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None,
                                                 size, raster.CULL_FRONT,
                                                 _tiled_e_max(size, size),
                                                 256, 32)
+        cv = (raster.transform_clip(corner_pos, light_mvp)
+              if corner_pos is not None else None)
         return rasterize_depth_tiled(clip, tris_flipped, size, size,
                                      raster.CULL_FRONT,
                                      _tiled_e_max(size, size), 256,
-                                     compact=compact)
+                                     compact=compact, cv=cv)
     vis = raster_fn(clip, tris_flipped, size, size, raster.CULL_FRONT)
     return vis.depth
 
@@ -425,6 +448,24 @@ def resident_slot_size(n_parts, budget_bytes=20 << 20):
     return max(min(s, 512), 128)
 
 
+def resident_fit_levels(atlas, slot):
+    """[P] i32: each part's first mip level that fits a slot x slot window,
+    or None when some part's chain never fits (texture_mips too shallow
+    for this slot). Static — computed from the atlas layout."""
+    import numpy as np
+    metas = np.asarray(atlas.mip_meta, np.int64)      # [P,L,4] oy,ox,h,w
+    L = atlas.n_mips
+    fit = []
+    for p in range(metas.shape[0]):
+        f = next((lv for lv in range(L)
+                  if metas[p, lv, 2] <= slot and metas[p, lv, 3] <= slot),
+                 None)
+        if f is None:
+            return None
+        fit.append(f)
+    return np.asarray(fit, np.int32)
+
+
 def build_resident_atlas(atlas, need_level, slot):
     """Per-frame resident mip atlas: copy, for each part, ONE level — the
     most detailed level any of its triangles needs this frame
@@ -448,20 +489,15 @@ def build_resident_atlas(atlas, need_level, slot):
     hd, wd, lanes = data.shape
     slot = min(int(slot), hd, wd)   # small atlases: window within bounds
     metas = np.asarray(atlas.mip_meta, np.int64)      # [P,L,4] oy,ox,h,w
-    fit_l = [next((lv for lv in range(L)
-                   if metas[p, lv, 2] <= slot
-                   and metas[p, lv, 3] <= slot), None)
-             for p in range(P)]
-    if any(f is None for f in fit_l):
-        bad = [p for p, f in enumerate(fit_l) if f is None]
+    fit = resident_fit_levels(atlas, slot)
+    if fit is None:
         raise ValueError(
-            f"texture_resident: parts {bad} have no mip level that fits "
+            f"texture_resident: some parts have no mip level that fits "
             f"the {slot}px resident slot — raise RenderConfig.texture_mips "
             f"so every part's chain reaches <= {slot}px (largest texture "
             f"{int(metas[:, 0, 2:].max())}px needs "
             f">= {int(np.ceil(np.log2(metas[:, 0, 2:].max() / slot))) + 1} "
             f"levels)")
-    fit = np.array(fit_l, np.int32)
     slices, offs, szs = [], [], []
     for p in range(P):
         rl = jnp.clip(jnp.maximum(need_level[p], fit[p]), 0, L - 1)
@@ -741,13 +777,31 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     verts_m = positions_mmd * cfg.mmd_to_meter
     tris = jnp.asarray(static.triangles)[:, ::-1]
 
+    # per-corner vertex tables shared by the crowd shadow AND character
+    # rasters: ONE [I*T*3]-row gather of [pos | attrs], transformed per
+    # pass (same trick as render_frame; per-instance row gathers are the
+    # fused setup's dominant cost and used to run once per pass)
+    attr_list = [jnp.asarray(normals)]
+    if part_textures is not None:
+        uvs_b = jnp.broadcast_to(jnp.asarray(static.uvs)[None],
+                                 (n_inst,) + static.uvs.shape)
+        attr_list.append(uvs_b)
+    attrs = (jnp.concatenate(attr_list, -1) if len(attr_list) > 1
+             else attr_list[0])
+    g3 = jax.vmap(
+        lambda w, a: jnp.concatenate([w, a], -1)[tris])(verts_m, attrs)
+    corner_pos, corner_va = g3[..., :3], g3[..., 3:]
+
     # --- shadow maps (per instance, one fused launch)
     if cfg.shadows_enabled:
         sclip = jax.vmap(
             lambda v: raster.transform_clip(v, mats["light_mvp"]))(verts_m)
+        scv = jax.vmap(
+            lambda c: raster.transform_clip(c, mats["light_mvp"]))(
+                corner_pos)
         shadow_maps = rasterize_depth_tiled_crowd(
             sclip, tris, cfg.shadow_map_size, cfg.shadow_map_size,
-            raster.CULL_FRONT)
+            raster.CULL_FRONT, cv=scv)
 
     # --- background + ground: camera-shared, computed once
     color1 = jnp.broadcast_to(jnp.asarray(cfg.clear_color, jnp.float32),
@@ -785,22 +839,20 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         color = jnp.broadcast_to(color1[None],
                                  (n_inst, height, width, 3))
 
-    # --- character (fused raster + shared-camera unproject)
+    # --- character (fused raster + shared-camera unproject; attrs and the
+    # corner tables were built above, before the shadow pass)
     clip = jax.vmap(lambda v: raster.transform_clip(v, mats["mvp"]))(verts_m)
-    attr_list = [jnp.asarray(normals)]
-    if part_textures is not None:
-        uvs = jnp.asarray(static.uvs)
-        attr_list.append(jnp.broadcast_to(
-            uvs[None], (n_inst,) + uvs.shape))
-    attrs = (jnp.concatenate(attr_list, -1) if len(attr_list) > 1
-             else attr_list[0])
+    ccv = jax.vmap(
+        lambda c: raster.transform_clip(c, mats["mvp"]))(corner_pos)
     sdepth = None
     if cfg.msaa >= 4:
         vis, attr_px, sdepth = rasterize_attrs_tiled_msaa_crowd(
-            clip, tris, attrs, width, height, raster.CULL_BACK)
+            clip, tris, attrs, width, height, raster.CULL_BACK,
+            cv=ccv, va=corner_va)
     else:
         vis, attr_px = rasterize_attrs_tiled_crowd(
-            clip, tris, attrs, width, height, raster.CULL_BACK)
+            clip, tris, attrs, width, height, raster.CULL_BACK,
+            cv=ccv, va=corner_va)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth[None])
     vp = mats["proj"] @ mats["view"]
     world_px = jax.vmap(
@@ -888,6 +940,40 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     tris = jnp.asarray(static.triangles)[:, ::-1]  # winding flip at upload
     raster_fn = _pick_raster(cfg, tris.shape[0])
 
+    # --- per-vertex attribute selection (needed before the shadow pass so
+    # its vertex gather can be shared). World position is NOT interpolated:
+    # it is reconstructed by unprojecting the depth buffer through
+    # inv(proj @ view) — one fixed per-pixel cost instead of three
+    # per-entry attribute channels in the raster loop. UV channels ride
+    # along only when textures exist.
+    attr_list = [jnp.asarray(normals)]
+    # deferred UV: with the windowed albedo on the tiled raster, per-pixel
+    # UVs are reconstructed from the visibility buffer inside the window
+    # (uv_from_vis) instead of riding the kernel as 2 attribute channels
+    # (measured ~4 ms of per-entry VMEM traffic at the bench scene)
+    defer_uv = (part_textures is not None and cfg.albedo_window
+                and raster_fn is not raster.rasterize)
+    if part_textures is not None:
+        uvs = jnp.asarray(static.uvs)
+        if uv_offsets is not None:
+            # UV morphs (beyond-parity, AppConfig.apply_extended_morphs)
+            uvs = uvs + uv_offsets
+        if not defer_uv:
+            attr_list.append(uvs)
+    attrs = jnp.concatenate(attr_list, -1) if len(attr_list) > 1 \
+        else attr_list[0]
+
+    # per-corner vertex table shared by the shadow AND character rasters:
+    # ONE 3T-row gather of [pos | attrs], transformed per pass (the
+    # transform is a tiny matmul; random row gathers are the setup cost —
+    # STATUS.md "row gathers are COUNT-bound"). Bitwise-identical to
+    # gathering each pass's clip coords: clip = MVP @ p is the same
+    # arithmetic per corner as per vertex.
+    corner_pos = corner_va = None
+    if raster_fn is not raster.rasterize:
+        g3 = jnp.concatenate([verts_m, attrs], -1)[tris]
+        corner_pos, corner_va = g3[..., :3], g3[..., 3:]
+
     # --- shadow pass. pass_scope = the reference's sg_push_debug_group
     # pass labels (main.cpp:2014/2055/2192): each scope names its ops in
     # jax.profiler / xprof traces
@@ -896,7 +982,8 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             shadow_map = shadow_pass(verts_m, tris, mats["light_mvp"],
                                      cfg.shadow_map_size, raster_fn,
                                      cfg.shadow_window,
-                                     compact=cfg.compact_bin)
+                                     compact=cfg.compact_bin,
+                                     corner_pos=corner_pos)
     else:
         shadow_map = jnp.ones((1, 1), jnp.float32)
 
@@ -969,27 +1056,10 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         edge_color_px = jnp.asarray(static.edge_colors)[pid_e][..., :3]
         edge_mask = (vis_e.tri >= 0) & (vis_e.depth <= ground_depth)
 
-    # --- character. World position is NOT interpolated: it is reconstructed
-    # by unprojecting the depth buffer through inv(proj @ view) — one fixed
-    # per-pixel cost instead of three per-entry attribute channels in the
-    # raster loop. UV channels ride along only when textures exist.
+    # --- character (attrs selected above, before the shadow pass)
     clip = raster.transform_clip(verts_m, mats["mvp"])
-    attr_list = [jnp.asarray(normals)]
-    # deferred UV: with the windowed albedo on the tiled raster, per-pixel
-    # UVs are reconstructed from the visibility buffer inside the window
-    # (uv_from_vis) instead of riding the kernel as 2 attribute channels
-    # (measured ~4 ms of per-entry VMEM traffic at the bench scene)
-    defer_uv = (part_textures is not None and cfg.albedo_window
-                and raster_fn is not raster.rasterize)
-    if part_textures is not None:
-        uvs = jnp.asarray(static.uvs)
-        if uv_offsets is not None:
-            # UV morphs (beyond-parity, AppConfig.apply_extended_morphs)
-            uvs = uvs + uv_offsets
-        if not defer_uv:
-            attr_list.append(uvs)
-    attrs = jnp.concatenate(attr_list, -1) if len(attr_list) > 1 \
-        else attr_list[0]
+    cv = (raster.transform_clip(corner_pos, mats["mvp"])
+          if corner_pos is not None else None)
     # double-sided materials (beyond-parity; the reference's single
     # back-cull pipeline ignores MAT_DOUBLE_FACE): exempt their triangles
     # from face culling
@@ -1006,12 +1076,14 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             from ..ops.tiled_raster import rasterize_attrs_tiled_msaa
             vis, attr_px, sdepth = rasterize_attrs_tiled_msaa(
                 clip, tris, attrs, width, height, raster.CULL_BACK,
-                _tiled_e_max(width, height), 256, nocull, cfg.compact_bin)
+                _tiled_e_max(width, height), 256, nocull, cfg.compact_bin,
+                cv=cv, va=corner_va)
         else:
             from ..ops.tiled_raster import rasterize_attrs_tiled
             vis, attr_px = rasterize_attrs_tiled(
                 clip, tris, attrs, width, height, raster.CULL_BACK,
-                _tiled_e_max(width, height), 256, nocull, cfg.compact_bin)
+                _tiled_e_max(width, height), 256, nocull, cfg.compact_bin,
+                cv=cv, va=corner_va)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth)
 
     world_px = unproject_depth(vis.depth, mats["proj"] @ mats["view"],
@@ -1041,32 +1113,65 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                     else build_packed_atlas(part_textures,
                                             mip_levels=cfg.texture_mips)
                 screen = None
-                resident = None
-                sample_atl = atl
                 if atl is not None and atl.n_mips > 1 and cfg.texture_mips > 1:
                     screen, _, _ = raster.screen_from_clip(clip, width, height)
-                    if cfg.texture_resident and atl.mip_meta:
-                        pn = atl.sizes.shape[0]
-                        pid_np = _static_pid(tris.shape[0], static, pn)
-                        g = uvs[tris]
-                        sz0 = atl.sizes[jnp.asarray(pid_np)][:, ::-1]
-                        lvl = _tri_mip_levels(g, sz0, screen, tris, atl.n_mips)
-                        nl = jax.ops.segment_min(lvl, jnp.asarray(pid_np),
-                                                 num_segments=pn,
-                                                 indices_are_sorted=True)
-                        slot = (resident_slot_size(pn)
-                                if int(cfg.texture_resident) == 1
-                                else int(cfg.texture_resident))
-                        mini, roff, rsz = build_resident_atlas(atl, nl, slot)
-                        resident = (roff, rsz)
-                        sample_atl = mini
-                rows = (affine_uv_part_rows(uvs, tris, atl, static,
-                                            screen_xy=screen,
-                                            resident=resident)
-                        if atl is not None else affine_uv_rows(uvs, tris))
-                albedo = character_albedo_windowed(
-                    static, vis.tri, None, part_textures, sample_atl,
-                    bary=vis.bary, uv_rows=rows)
+                fit = None
+                if (screen is not None and cfg.texture_resident
+                        and atl.mip_meta):
+                    pn = atl.sizes.shape[0]
+                    slot = (resident_slot_size(pn)
+                            if int(cfg.texture_resident) == 1
+                            else int(cfg.texture_resident))
+                    slot = min(int(slot), atl.data.shape[0],
+                               atl.data.shape[1])
+                    # static degrade: if some part's chain never fits the
+                    # slot, skip the resident path rather than erroring —
+                    # it is an optimization, ON by default
+                    fit = resident_fit_levels(atl, slot)
+                if fit is not None:
+                    # per-frame resident mip mini-atlas, with an EXACT
+                    # fallback: when any part needs a finer level than its
+                    # slot holds (magnification — the copy would cap
+                    # detail, PARITY.md D7), the whole frame samples the
+                    # big atlas instead. lax.cond runs ONE branch per
+                    # frame; single-instance paths only (crowd ignores
+                    # texture_resident, crowd_render_supported).
+                    pid_np = _static_pid(tris.shape[0], static, pn)
+                    g = uvs[tris]
+                    sz0 = atl.sizes[jnp.asarray(pid_np)][:, ::-1]
+                    lvl = _tri_mip_levels(g, sz0, screen, tris, atl.n_mips)
+                    nl = jax.ops.segment_min(lvl, jnp.asarray(pid_np),
+                                             num_segments=pn,
+                                             indices_are_sorted=True)
+                    any_capped = jnp.any(nl < jnp.asarray(fit))
+
+                    def _resident(_):
+                        mini, roff, rsz = build_resident_atlas(atl, nl,
+                                                               slot)
+                        rows = affine_uv_part_rows(
+                            uvs, tris, atl, static, screen_xy=screen,
+                            resident=(roff, rsz))
+                        return character_albedo_windowed(
+                            static, vis.tri, None, part_textures, mini,
+                            bary=vis.bary, uv_rows=rows)
+
+                    def _exact(_):
+                        rows = affine_uv_part_rows(uvs, tris, atl, static,
+                                                   screen_xy=screen)
+                        return character_albedo_windowed(
+                            static, vis.tri, None, part_textures, atl,
+                            bary=vis.bary, uv_rows=rows)
+
+                    albedo = jax.lax.cond(any_capped, _exact, _resident,
+                                          None)
+                else:
+                    rows = (affine_uv_part_rows(uvs, tris, atl, static,
+                                                screen_xy=screen)
+                            if atl is not None
+                            else affine_uv_rows(uvs, tris))
+                    albedo = character_albedo_windowed(
+                        static, vis.tri, None, part_textures, atl,
+                        bary=vis.bary, uv_rows=rows)
             elif cfg.albedo_window:
                 albedo = character_albedo_windowed(static, vis.tri, uv_px,
                                                    part_textures, atlas)

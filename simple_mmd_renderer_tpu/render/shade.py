@@ -99,40 +99,60 @@ def shade_ground(albedo, light_space_pos, shadow_map, shadows_enabled,
     return albedo * 0.7 * shadow
 
 
+def _ground_zref_plane(s, light_vp, bias):
+    """zref(row, col) = z0 + zc*col + zr*row for the y=0 ground plane seen
+    through the (affine, ortho) light VP, with `bias` folded into z0:
+    unproject each texel's (u,v) to the plane and evaluate its depth.
+    Affine because every step is affine."""
+    m = light_vp  # affine: row 3 == (0,0,0,1)
+    # solve [m00 m02; m10 m12] @ (px,pz) = (x - t0, y - t1) with py=0
+    a, b_ = m[0, 0], m[0, 2]
+    c, d = m[1, 0], m[1, 2]
+    det = a * d - b_ * c
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    i00, i01 = d / det, -b_ / det
+    i10, i11 = -c / det, a / det
+    du = 2.0 / s                      # d(x_ndc)/d(col)
+    dv = -2.0 / s                     # d(y_ndc)/d(row)
+    rx0 = (0.5 / s) * 2.0 - 1.0 - m[0, 3]
+    ry0 = 1.0 - 2.0 * (0.5 / s) - m[1, 3]
+    px0 = i00 * rx0 + i01 * ry0
+    pz0 = i10 * rx0 + i11 * ry0
+    z0 = m[2, 0] * px0 + m[2, 2] * pz0 + m[2, 3]
+    zc = (m[2, 0] * i00 + m[2, 2] * i10) * du
+    zr = (m[2, 0] * i01 + m[2, 2] * i11) * dv
+    return z0 - bias, zc, zr
+
+
 def ground_lit_map(shadow_map, light_vp, bias=0.001):
     """3x3 PCF evaluated in SHADOW space for the y=0 ground plane.
 
     For every shadow-map texel, unproject its (u,v) to the ground plane (the
     light VP is affine for an ortho light), compute the ground's reference
-    depth there, and average the 3x3 comparison using array shifts — no
-    gathers. The screen pass then needs a single lookup into this lit map
-    instead of 9 random gathers per pixel (render/pipeline.py). Differs from
-    per-pixel PCF only by sub-texel quantization of the tap centers."""
+    depth there, and average the 3x3 comparison — no gathers. The screen
+    pass then needs a single lookup into this lit map instead of 9 random
+    gathers per pixel (render/pipeline.py). Differs from per-pixel PCF only
+    by sub-texel quantization of the tap centers.
+
+    128-aligned maps run the tiled Pallas kernel (ops/shadow_pcf.py): the
+    jnp formulation's nine +-1 lane shifts each relayout the whole map
+    (~2.5 ms at 2048^2); the kernel does one pass with in-register shifts.
+    Same bits either way (parity-tested)."""
     s = shadow_map.shape[0]
-    m = light_vp  # affine: row 3 == (0,0,0,1)
-    cols = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    rows = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    x_ndc = cols * 2.0 - 1.0                    # [S]
-    y_ndc = 1.0 - 2.0 * rows                    # [S] (row 0 = top)
+    z0, zc, zr = _ground_zref_plane(s, light_vp, bias)
+    from ..ops import shadow_pcf
+    if s % shadow_pcf.TILE_W == 0 and s % shadow_pcf.TILE_H == 0:
+        return shadow_pcf.pcf_lit_map_tiled(shadow_map, z0, zc, zr)
 
-    # solve [m00 m02; m10 m12] @ (px,pz) = (x - t0, y - t1) with py=0
-    a, b_ = m[0, 0], m[0, 2]
-    c, d = m[1, 0], m[1, 2]
-    det = a * d - b_ * c
-    inv = jnp.asarray([[d, -b_], [-c, a]], jnp.float32) / jnp.where(
-        jnp.abs(det) > 1e-12, det, 1e-12)
-    rx = x_ndc[None, :] - m[0, 3]               # [1,S] broadcast over rows
-    ry = y_ndc[:, None] - m[1, 3]               # [S,1]
-    px = inv[0, 0] * rx + inv[0, 1] * ry        # [S,S]
-    pz = inv[1, 0] * rx + inv[1, 1] * ry
-    zref = m[2, 0] * px + m[2, 2] * pz + m[2, 3]
-
+    col = jnp.arange(s, dtype=jnp.float32)[None, :]
+    row = jnp.arange(s, dtype=jnp.float32)[:, None]
+    zref = z0 + zc * col + zr * row             # bias already folded in
     pad = jnp.pad(shadow_map, 1, mode="edge")
     total = jnp.zeros_like(shadow_map)
     for dy in (0, 1, 2):
         for dx in (0, 1, 2):
             total = total + jnp.where(
-                zref - bias < pad[dy:dy + s, dx:dx + s], 1.0, 0.0)
+                zref < pad[dy:dy + s, dx:dx + s], 1.0, 0.0)
     return jnp.clip(total / 9.0, 0.0, 1.0)
 
 

@@ -425,3 +425,44 @@ def test_double_sided_materials():
         *args, RenderConfig(double_sided=True, **cfg)))
     char = np.abs(shown - clear).sum(-1) > 0.05
     assert shown[char].mean() > 0.4
+
+
+def test_pcf_kernel_matches_reference():
+    """ops/shadow_pcf.pcf_lit_map_tiled (the tiled PCF kernel used for
+    128-aligned shadow maps) is bit-exact vs the plain jnp 9-tap loop:
+    same edge padding, same compare, same /9."""
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.ops import shadow_pcf
+    from simple_mmd_renderer_tpu.render.shade import (_ground_zref_plane,
+                                                      ground_lit_map)
+
+    rng = np.random.default_rng(7)
+    s = 256
+    smap = jnp.asarray(rng.random((s, s), np.float32))
+    # a plausible ortho light VP (looking down -y at a tilt)
+    from simple_mmd_renderer_tpu.render import camera as cam
+    light_dir = np.array([0.3, -1.0, 0.2], np.float32)
+    light_dir /= np.linalg.norm(light_dir)
+    view = cam.look_at(jnp.asarray(-50.0 * light_dir),
+                       jnp.zeros(3, jnp.float32),
+                       jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    proj = cam.orthographic(-5.0, 5.0, -5.0, 5.0, 0.1, 100.0)
+    light_vp = proj @ view
+
+    z0, zc, zr = _ground_zref_plane(s, light_vp, 0.001)
+    kern = np.asarray(shadow_pcf.pcf_lit_map_tiled(smap, z0, zc, zr))
+
+    col = jnp.arange(s, dtype=jnp.float32)[None, :]
+    row = jnp.arange(s, dtype=jnp.float32)[:, None]
+    zref = z0 + zc * col + zr * row
+    pad = jnp.pad(smap, 1, mode="edge")
+    total = jnp.zeros_like(smap)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            total = total + jnp.where(zref < pad[dy:dy + s, dx:dx + s],
+                                      1.0, 0.0)
+    ref = np.asarray(jnp.clip(total / 9.0, 0.0, 1.0))
+    np.testing.assert_array_equal(kern, ref)
+    # the dispatcher picks the kernel for this aligned size
+    np.testing.assert_array_equal(
+        np.asarray(ground_lit_map(smap, light_vp)), kern)
