@@ -217,6 +217,22 @@ def main(argv=None):
                          "the reference's shader ignores them)")
     ap.add_argument("--density", type=float, default=1.0,
                     help="sample mesh density")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a device profile of the render loop to "
+                         "DIR (jax.profiler; view in xprof/TensorBoard). "
+                         "Render passes appear under their pass_scope "
+                         "labels — the reference's sg_push_debug_group "
+                         "groups, main.cpp:2014/2055/2192")
+    ap.add_argument("--save-state", default=None, metavar="PATH",
+                    help="write the sim state (time + physics pytree) to "
+                         "PATH.npz when the run ends; --resume continues "
+                         "from it bit-identically")
+    ap.add_argument("--save-every", type=int, default=0, metavar="N",
+                    help="with --save-state: also checkpoint every N "
+                         "frames (crash-safe long renders)")
+    ap.add_argument("--resume", default=None, metavar="PATH",
+                    help="restore the sim state saved by --save-state and "
+                         "continue from it")
     args = ap.parse_args(argv)
 
     import jax
@@ -306,6 +322,11 @@ def main(argv=None):
                   cubemap=cubemap, camera=camera, light=light,
                   mmd_maps=mmd_maps)
     state = scene.init_state()
+    if args.resume:
+        from ..utils.checkpoint import load_state
+        state = load_state(args.resume, state)
+        print(f"resumed sim state from {args.resume} "
+              f"(t={float(state.time):.3f}s)")
     # --watch on a tty gets the live orbit camera (keyboard counterpart of
     # the reference's mouse controller); the camera rides the jitted step
     # as traced arguments, so steering never recompiles
@@ -352,6 +373,12 @@ def main(argv=None):
         os.makedirs(args.out, exist_ok=True)
 
     gif_frames = []
+    # live frame statistics (the reference's sgimgui stats window,
+    # main.cpp:1699): rolling fps / frame-ms shown in the --watch footer
+    # and in the final summary. tick() is called where the frame is
+    # host-materialized, so the numbers reflect real frame delivery.
+    from ..utils.profiling import FrameStats, trace
+    stats = FrameStats(window=60)
 
     def save(i, img):
         if args.out or args.gif:
@@ -364,28 +391,52 @@ def main(argv=None):
         if args.watch:
             # home the cursor and repaint in place (clear once up front)
             prefix = "\x1b[2J\x1b[H" if i == 0 else "\x1b[H"
-            tail = ("\n" + KEY_HELP + "\n") if interactive else "\n"
+            hud = (f"frame {i:5d}  {stats.fps:6.1f} fps  "
+                   f"{stats.frame_ms:6.1f} ms/frame")
+            tail = ("\n" + hud + "  " + KEY_HELP + "\n") if interactive \
+                else ("\n" + hud + "\n")
             sys.stdout.write(prefix + ansi_frame(np.asarray(img),
                                                  args.watch_cols) + tail)
             sys.stdout.flush()
+        stats.tick()
+
+    def checkpoint(i, force=False):
+        if args.save_state and (force or (args.save_every
+                                          and i % args.save_every == 0)):
+            from ..utils.checkpoint import save_state
+            save_state(args.save_state, state)
 
     save(0, image)
     t0 = time.time()
-    if interactive:
-        with _RawStdin() as keys:
+    import contextlib
+    tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with tracer:
+        if interactive:
+            with _RawStdin() as keys:
+                for i in range(1, args.frames):
+                    if apply_keys(rig, keys.poll()):
+                        break
+                    state, image = step(state)
+                    save(i, image)
+                    checkpoint(i)
+        else:
             for i in range(1, args.frames):
-                if apply_keys(rig, keys.poll()):
-                    break
                 state, image = step(state)
                 save(i, image)
-    else:
-        for i in range(1, args.frames):
-            state, image = step(state)
-            save(i, image)
-    image.block_until_ready()
+                checkpoint(i)
+        image.block_until_ready()
     dt = time.time() - t0
     n = max(args.frames - 1, 1)
-    print(f"{n} frames in {dt:.2f}s -> {n / dt:.1f} fps")
+    print(f"{n} frames in {dt:.2f}s -> {n / dt:.1f} fps"
+          + (f" (rolling: {stats.fps:.1f} fps, {stats.frame_ms:.1f} "
+             f"ms/frame)" if stats.times else ""))
+    if args.trace:
+        print(f"device profile written to {args.trace}")
+    checkpoint(args.frames - 1, force=True)
+    if args.save_state:
+        print(f"sim state saved to {args.save_state} "
+              f"(t={float(state.time):.3f}s); continue with "
+              f"--resume {args.save_state}")
     if args.gif and gif_frames:
         gif_frames[0].save(args.gif, save_all=True,
                            append_images=gif_frames[1:],

