@@ -38,8 +38,10 @@ def _pcf_kernel(params_ref, pad_hbm, lit_ref, scratch, sem, *, tile_h,
                 tiles_x):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
+    # window height tile_h + 8 (Mosaic: DMA slice shapes must be 8-aligned
+    # in dim 0); rows [0..tile_h+1] of the window are the halo + tile
     cp = pltpu.make_async_copy(
-        pad_hbm.at[pl.ds(ty * tile_h, tile_h + 2),
+        pad_hbm.at[pl.ds(ty * tile_h, tile_h + 8),
                    pl.ds(tx * TILE_W, 3 * TILE_W)],
         scratch, sem)
     cp.start()
@@ -47,10 +49,11 @@ def _pcf_kernel(params_ref, pad_hbm, lit_ref, scratch, sem, *, tile_h,
     z0 = params_ref[0]
     zc = params_ref[1]
     zr = params_ref[2]
-    row = (jax.lax.broadcasted_iota(jnp.float32, (tile_h, TILE_W), 0)
-           + (ty * tile_h).astype(jnp.float32))
-    col = (jax.lax.broadcasted_iota(jnp.float32, (tile_h, TILE_W), 1)
-           + (tx * TILE_W).astype(jnp.float32))
+    # iota must be integer on Mosaic (f32 iota fails verification on TPU)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
+           + ty * tile_h).astype(jnp.float32)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
+           + tx * TILE_W).astype(jnp.float32)
     # zref - bias, affine in texel coords (ortho light)
     zref = z0 + zc * col + zr * row
     total = jnp.zeros((tile_h, TILE_W), jnp.float32)
@@ -69,10 +72,11 @@ def pcf_lit_map_tiled(shadow_map, z0, zc, zr):
     already folded into z0 by the caller). Requires S % 128 == 0."""
     s = shadow_map.shape[0]
     assert s % TILE_W == 0 and s % TILE_H == 0, "use the jnp path"
-    # halo pre-pad: 1 edge row top/bottom (dim 0 DMA offsets are free),
+    # halo pre-pad: 1 edge row on top, 7 below (the kernel DMAs 8-aligned
+    # (tile_h + 8)-row windows; the last window ends exactly at S + 8),
     # one full 128-lane block left/right (lane DMA offsets must be
     # 128-aligned; the kernel shifts by +-1 in-register)
-    pad = jnp.pad(shadow_map, ((1, 1), (TILE_W, TILE_W)), mode="edge")
+    pad = jnp.pad(shadow_map, ((1, 7), (TILE_W, TILE_W)), mode="edge")
     params = jnp.stack([z0, zc, zr]).astype(jnp.float32)
     tiles_y = s // TILE_H
     tiles_x = s // TILE_W
@@ -89,7 +93,7 @@ def pcf_lit_map_tiled(shadow_map, z0, zc, zr):
         ],
         out_shape=[jax.ShapeDtypeStruct((s, s), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2, 3 * TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H + 8, 3 * TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),

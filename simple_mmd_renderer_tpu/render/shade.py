@@ -31,26 +31,43 @@ def _normalize(v, axis=-1):
 
 def shade_character(albedo, normal, world_pos, view_pos, cfg):
     """albedo/normal/world_pos: [...,3]; cfg: RenderConfig-like with light and
-    material fields. Returns linear-ish final color per main.glsl."""
-    n = _normalize(normal)
-    v = _normalize(view_pos - world_pos)
+    material fields. Returns linear-ish final color per main.glsl.
+
+    Evaluated PLANAR (per-channel [H,W] planes): keeping the 3-vector math
+    on a 3-deep trailing axis makes every op run on a 3/128-occupied lane
+    dimension on TPU (the stage measured ~0.9 ms at 1080p for ~100 MFLOP);
+    XLA fuses the channel slices into the producers, so the only [...,3]
+    materialization left is the final stack."""
+    nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    nn = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-12)
+    nx, ny, nz = nx / nn, ny / nn, nz / nn
+    vx = view_pos[0] - world_pos[..., 0]
+    vy = view_pos[1] - world_pos[..., 1]
+    vz = view_pos[2] - world_pos[..., 2]
+    vn = jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-12)
+    vx, vy, vz = vx / vn, vy / vn, vz / vn
     l = _normalize(-jnp.asarray(cfg.light_direction, jnp.float32))
 
-    ndotv = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 0.0)
+    ndotv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
     rim_factor = jnp.power(jnp.abs(1.0 - ndotv), cfg.rim_power)
-    rim = jnp.asarray(cfg.rim_color, jnp.float32) * cfg.rim_intensity * rim_factor
 
-    h = _normalize(v + l)
-    ndoth = jnp.maximum(jnp.sum(n * h, -1, keepdims=True), 0.0)
-    ndotl = jnp.maximum(jnp.sum(n * l, -1, keepdims=True), 0.0)
+    hx, hy, hz = vx + l[0], vy + l[1], vz + l[2]
+    hinv = 1.0 / jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-12)
+    ndoth = jnp.maximum((nx * hx + ny * hy + nz * hz) * hinv, 0.0)
+    ndotl = jnp.maximum(nx * l[0] + ny * l[1] + nz * l[2], 0.0)
     spec_factor = jnp.where(ndotl > 0.0,
-                            jnp.power(jnp.abs(ndoth), cfg.specular_power), 0.0)
+                            jnp.power(jnp.abs(ndoth), cfg.specular_power),
+                            0.0)
     light_col = jnp.asarray(cfg.light_color, jnp.float32) * cfg.light_intensity
-    specular = light_col * cfg.specular_intensity * spec_factor
+    rim_col = jnp.asarray(cfg.rim_color, jnp.float32) * cfg.rim_intensity
 
-    diffuse = light_col * 0.25 * ndotl
-    final = albedo * (0.9 + diffuse) + rim + specular
-    return srgb_to_linear(final)
+    chans = []
+    for c in range(3):
+        final = (albedo[..., c] * (0.9 + light_col[c] * 0.25 * ndotl)
+                 + rim_col[c] * rim_factor
+                 + light_col[c] * cfg.specular_intensity * spec_factor)
+        chans.append(srgb_to_linear(final))
+    return jnp.stack(chans, -1)
 
 
 def pcf_shadow(light_space_pos, shadow_map, enabled, bias=0.001):
