@@ -141,6 +141,39 @@ def ground_pass(cfg: RenderConfig, view, proj, width, height):
     return mask, hit, jnp.where(mask, depth, 1.0)
 
 
+def upsample_bilinear_int(img, f):
+    """[h,w,1] -> [f*h, f*w, 1] bilinear upsample with half-pixel centers —
+    identical math to jax.image.resize(..., method="linear") for an integer
+    factor, but as f static per-phase plane blends per axis (edge-padded
+    shifted slices with constant weights) instead of the general gather
+    formulation. Measured NEUTRAL in-pipeline at 1080p (XLA already lowers
+    the integer-factor resize well); kept because the plane form has no
+    gathers to interact with the albedo window's gather-heavy neighborhood
+    and is exact by construction (parity test)."""
+    import math as _math
+    lo = img[..., 0]
+
+    def axis_up(a, axis):
+        n = a.shape[axis]
+        pads = [(0, 0), (0, 0)]
+        pads[axis] = (1, 1)
+        p = jnp.pad(a, pads, mode="edge")
+        outs = []
+        for ph in range(f):
+            o = (ph + 0.5) / f - 0.5
+            fl = _math.floor(o)
+            fr = o - fl
+            s0 = jax.lax.slice_in_dim(p, 1 + fl, 1 + fl + n, axis=axis)
+            s1 = jax.lax.slice_in_dim(p, 2 + fl, 2 + fl + n, axis=axis)
+            outs.append(s0 * (1.0 - fr) + s1 * fr)
+        st = jnp.stack(outs, axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] = n * f
+        return st.reshape(shape)
+
+    return axis_up(axis_up(lo, 0), 1)[..., None]
+
+
 def _tiled_e_max(width, height, default=6):
     """Covers-all e_max at small targets (crowd viewports, small shadow
     maps): when the whole tile grid fits in <=16 entries/tri, binning every
@@ -825,7 +858,11 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                 lm = shade.ground_lit_map(smap, mats["light_vp"])
                 lo = shade.ground_shadow_lookup(lclip, lm, jnp.asarray(True))
                 if (lh, lw) != (height, width):
-                    lo = jax.image.resize(lo, (height, width, 1), "linear")
+                    if height % lh == 0 and width // lw == height // lh:
+                        lo = upsample_bilinear_int(lo, height // lh)
+                    else:
+                        lo = jax.image.resize(lo, (height, width, 1),
+                                              "linear")
                 return lo
 
             lit = jax.vmap(lit_one)(shadow_maps)              # [I,H,W,1]
@@ -1015,7 +1052,7 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                             lh, lw, 4)
                     lit_lo = shade.ground_shadow_lookup(lclip, lit_map,
                                                         jnp.asarray(True))
-                    lit = jax.image.resize(lit_lo, (height, width, 1), "linear")
+                    lit = upsample_bilinear_int(lit_lo, ds)
                 else:
                     lclip = raster.transform_clip(
                         gpos.reshape(-1, 3), mats["light_vp"]).reshape(

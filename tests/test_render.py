@@ -466,3 +466,20 @@ def test_pcf_kernel_matches_reference():
     # the dispatcher picks the kernel for this aligned size
     np.testing.assert_array_equal(
         np.asarray(ground_lit_map(smap, light_vp)), kern)
+
+
+def test_upsample_bilinear_int_matches_resize():
+    """pipeline.upsample_bilinear_int (static per-phase plane blends) must
+    match jax.image.resize(..., 'linear') for integer factors — it replaces
+    the general gather formulation on the shadow-lit upsample."""
+    import jax
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.render.pipeline import upsample_bilinear_int
+
+    rng = np.random.default_rng(3)
+    for f, (h, w) in ((2, (5, 7)), (4, (27, 48)), (3, (9, 16))):
+        img = jnp.asarray(rng.random((h, w, 1), np.float32))
+        got = np.asarray(upsample_bilinear_int(img, f))
+        want = np.asarray(jax.image.resize(img, (h * f, w * f, 1),
+                                           "linear"))
+        np.testing.assert_allclose(got, want, atol=1e-6), (f, h, w)
