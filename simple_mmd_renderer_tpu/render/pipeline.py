@@ -854,8 +854,12 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             lclip = raster.transform_clip(
                 gpos_l.reshape(-1, 3), mats["light_vp"]).reshape(lh, lw, 4)
 
-            def lit_one(smap):
-                lm = shade.ground_lit_map(smap, mats["light_vp"])
+            # lit maps for ALL instances in one batched kernel launch
+            # (the PCF Pallas kernel batches over its grid; vmapping it
+            # is unsupported on TPU — ANY-space operands can't batch)
+            lms = shade.ground_lit_map(shadow_maps, mats["light_vp"])
+
+            def lit_one(lm):
                 lo = shade.ground_shadow_lookup(lclip, lm, jnp.asarray(True))
                 if (lh, lw) != (height, width):
                     if height % lh == 0 and width // lw == height // lh:
@@ -865,7 +869,7 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                                               "linear")
                 return lo
 
-            lit = jax.vmap(lit_one)(shadow_maps)              # [I,H,W,1]
+            lit = jax.vmap(lit_one)(lms)                      # [I,H,W,1]
         else:
             lit = jnp.ones((n_inst, height, width, 1), jnp.float32)
         gcolor = jnp.ones(3, jnp.float32) * 0.7 * lit

@@ -144,32 +144,36 @@ def _ground_zref_plane(s, light_vp, bias):
 def ground_lit_map(shadow_map, light_vp, bias=0.001):
     """3x3 PCF evaluated in SHADOW space for the y=0 ground plane.
 
-    For every shadow-map texel, unproject its (u,v) to the ground plane (the
-    light VP is affine for an ortho light), compute the ground's reference
-    depth there, and average the 3x3 comparison — no gathers. The screen
-    pass then needs a single lookup into this lit map instead of 9 random
-    gathers per pixel (render/pipeline.py). Differs from per-pixel PCF only
-    by sub-texel quantization of the tap centers.
+    shadow_map: [S,S], or a batch [B,S,S] (the crowd's per-instance maps —
+    pass the BATCH here rather than vmapping: the Pallas kernel batches
+    natively over its grid; vmap of an ANY-space operand is unsupported on
+    TPU). For every shadow-map texel, unproject its (u,v) to the ground
+    plane (the light VP is affine for an ortho light), compute the
+    ground's reference depth there, and average the 3x3 comparison — no
+    gathers. The screen pass then needs a single lookup into this lit map
+    instead of 9 random gathers per pixel (render/pipeline.py). Differs
+    from per-pixel PCF only by sub-texel quantization of the tap centers.
 
     128-aligned maps run the tiled Pallas kernel (ops/shadow_pcf.py): the
-    jnp formulation's nine +-1 lane shifts each relayout the whole map
-    (~2.5 ms at 2048^2); the kernel does one pass with in-register shifts.
-    Same bits either way (parity-tested)."""
-    s = shadow_map.shape[0]
+    jnp formulation's nine +-1 lane shifts each relayout the whole map;
+    the kernel does one pass with in-register shifts. Same bits either way
+    (parity-tested)."""
+    s = shadow_map.shape[-1]
     z0, zc, zr = _ground_zref_plane(s, light_vp, bias)
     from ..ops import shadow_pcf
     if s % shadow_pcf.TILE_W == 0 and s % shadow_pcf.TILE_H == 0:
-        return shadow_pcf.pcf_lit_map_tiled(shadow_map, z0, zc, zr)
+        return shadow_pcf.pcf_lit_map(shadow_map, z0, zc, zr)
 
     col = jnp.arange(s, dtype=jnp.float32)[None, :]
     row = jnp.arange(s, dtype=jnp.float32)[:, None]
     zref = z0 + zc * col + zr * row             # bias already folded in
-    pad = jnp.pad(shadow_map, 1, mode="edge")
+    widths = [(0, 0)] * (shadow_map.ndim - 2) + [(1, 1), (1, 1)]
+    pad = jnp.pad(shadow_map, widths, mode="edge")
     total = jnp.zeros_like(shadow_map)
     for dy in (0, 1, 2):
         for dx in (0, 1, 2):
             total = total + jnp.where(
-                zref < pad[dy:dy + s, dx:dx + s], 1.0, 0.0)
+                zref < pad[..., dy:dy + s, dx:dx + s], 1.0, 0.0)
     return jnp.clip(total / 9.0, 0.0, 1.0)
 
 

@@ -483,3 +483,27 @@ def test_upsample_bilinear_int_matches_resize():
         want = np.asarray(jax.image.resize(img, (h * f, w * f, 1),
                                            "linear"))
         np.testing.assert_allclose(got, want, atol=1e-6), (f, h, w)
+
+
+def test_pcf_kernel_batched_and_vmapped():
+    """The PCF kernel batches natively over leading dims and re-dispatches
+    under vmap (custom_vmap): Pallas TPU cannot batch an ANY-space operand,
+    so the crowd paths (batched call; vmapped render_frame fallback) must
+    route through the native batch — all three agree exactly."""
+    import jax
+    import jax.numpy as jnp
+    from simple_mmd_renderer_tpu.render import camera as cam
+    from simple_mmd_renderer_tpu.render.shade import ground_lit_map
+
+    rng = np.random.default_rng(11)
+    ld = np.array([0.3, -1.0, 0.2], np.float32)
+    ld /= np.linalg.norm(ld)
+    view = cam.look_at(jnp.asarray(-50.0 * ld), jnp.zeros(3, jnp.float32),
+                       jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    vp = cam.orthographic(-5.0, 5.0, -5.0, 5.0, 0.1, 100.0) @ view
+    maps = jnp.asarray(rng.random((3, 256, 256), np.float32))
+    per = np.stack([np.asarray(ground_lit_map(maps[i], vp))
+                    for i in range(3)])
+    np.testing.assert_array_equal(np.asarray(ground_lit_map(maps, vp)), per)
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda m: ground_lit_map(m, vp))(maps)), per)
