@@ -174,6 +174,43 @@ def main():
         secondary("large mesh 56k verts / 107k tris at 1920x1080",
                   Scene(static4, ps4, mo4, cfg4), 30)
 
+        # BASELINE Config 5: 64 instances x independent motions (staggered
+        # clocks), FUSED multi-instance raster (one binning sort + one
+        # kernel launch across all instances), textured through the shared
+        # atlas + native per-sample 4x MSAA, at a realistic crowd viewport.
+        # Throughput unit is instance-frames/s (inst-fps): crowd fps x 64.
+        import jax.numpy as jnp
+        from simple_mmd_renderer_tpu.parallel import mesh as par
+        cfg_crowd = AppConfig()
+        cfg_crowd.render = RenderConfig(width=256, height=144,
+                                        shadow_map_size=256,
+                                        show_skybox=False, msaa=4)
+        pm_c = sample_character(density=0.5)
+        static_c = model_mod.build_model(pm_c)
+        mo_c = anim_mod.bind_motion(static_c, sample_motion(120, fps_keys=5))
+        ps_c = phys_mod.build_physics(static_c)
+        scene_c = Scene(static_c, ps_c, mo_c, cfg_crowd,
+                        part_textures=sample_textures())
+        n_inst, n_cf = 64, 20
+        step_c = par.crowd_step_fn(scene_c)
+
+        def crowd_roll(state):
+            def body(st, _):
+                st, imgs = step_c(st)
+                return st, jnp.mean(imgs)
+            return jax.lax.scan(body, state, None, length=n_cf)
+
+        roll_c = jax.jit(crowd_roll)
+        st_c, cs_c = roll_c(par.crowd_init(scene_c, n_inst))
+        np.asarray(cs_c)
+        t0 = time.time()
+        st_c, cs_c = roll_c(st_c)
+        np.asarray(cs_c)
+        inst_fps = n_cf * n_inst / (time.time() - t0)
+        print(f"# secondary: {inst_fps:.0f} inst-fps crowd "
+              f"({n_inst} instances, fused raster, textured + msaa=4) "
+              f"at 256x144", file=sys.stderr)
+
     print(json.dumps({
         "metric": "fps_full_step_render_1080p" if on_tpu
         else "fps_full_step_render_cpu_smoke",

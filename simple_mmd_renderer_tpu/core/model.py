@@ -95,13 +95,21 @@ class ModelStatic:
     bm_bone: np.ndarray        # [KB] i32
     bm_trans: np.ndarray       # [KB,3] f32
     bm_rot: np.ndarray         # [KB,4] f32
-    # UV morphs (MORPH_UV on the primary channel; ext-UV channels are parsed
-    # but not rendered) and material morphs — the reference parses both and
-    # applies neither (poser_impl.inl:355-358); application here is the
-    # opt-in AppConfig.apply_extended_morphs path
+    # UV morphs (MORPH_UV on the primary channel, plus the four extra-UV
+    # channels) and material morphs — the reference parses both and
+    # applies neither (poser_impl.inl:355-358, model.inl morph setters);
+    # application here is the opt-in AppConfig.apply_extended_morphs path
     um_morph: np.ndarray       # [KU] i32 leaf morph id
     um_vertex: np.ndarray      # [KU] i32
     um_offset: np.ndarray      # [KU,2] f32 (du, dv)
+    # ext-UV channels 1-4 (MORPH_EXT_UV_*): offsets into extra_uvs, exposed
+    # through pose.ext_uv_morph_offsets / Scene.morphed_extra_uvs for
+    # custom-effect consumers (the built-in shader samples none of them)
+    xum_morph: np.ndarray      # [KX] i32 leaf morph id
+    xum_vertex: np.ndarray     # [KX] i32
+    xum_channel: np.ndarray    # [KX] i32 channel 0-3
+    xum_offset: np.ndarray     # [KX,4] f32
+    extra_uvs: np.ndarray      # [N,E,4] f32 rest-pose extra UV channels
     mm_morph: np.ndarray       # [KM] i32 leaf morph id (part-expanded)
     mm_part: np.ndarray        # [KM] i32 (the -1 = all-materials form expanded)
     mm_method: np.ndarray      # [KM] i32 0=mul 1=add
@@ -368,8 +376,13 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
     vm_m, vm_v, vm_o = [], [], []
     bm_m, bm_b, bm_t, bm_r = [], [], [], []
     um_m, um_v, um_o = [], [], []
+    xum_m, xum_v, xum_c, xum_o = [], [], [], []
     mm_m, mm_p, mm_me, mm_pl = [], [], [], []
     n_parts = len(pm.materials)
+    extra_uvs = getattr(pm, "extra_uvs", None)
+    if extra_uvs is None:
+        extra_uvs = np.zeros((len(pm.positions), 0, 4), np.float32)
+    n_extra_uv = extra_uvs.shape[1]
     for mi, mo in enumerate(morphs):
         if mo.type == P.MORPH_VERTEX:
             vm_m.append(np.full(len(mo.vertex_indices), mi, np.int32))
@@ -384,6 +397,16 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
             um_m.append(np.full(len(mo.uv_vertex_indices), mi, np.int32))
             um_v.append(mo.uv_vertex_indices.astype(np.int32))
             um_o.append(mo.uv_offsets[:, :2].astype(np.float32))
+        elif (mo.type in (P.MORPH_EXT_UV_1, P.MORPH_EXT_UV_2,
+                          P.MORPH_EXT_UV_3, P.MORPH_EXT_UV_4)
+              and mo.uv_vertex_indices is not None):
+            ch = mo.type - P.MORPH_EXT_UV_1
+            if ch < n_extra_uv:   # drop channels the model doesn't declare
+                k = len(mo.uv_vertex_indices)
+                xum_m.append(np.full(k, mi, np.int32))
+                xum_v.append(mo.uv_vertex_indices.astype(np.int32))
+                xum_c.append(np.full(k, ch, np.int32))
+                xum_o.append(mo.uv_offsets[:, :4].astype(np.float32))
         elif mo.type == P.MORPH_MATERIAL and mo.material_indices is not None:
             for j in range(len(mo.material_indices)):
                 parts = (range(n_parts) if mo.material_indices[j] < 0
@@ -467,6 +490,11 @@ def build_model(pm: P.PmxModel) -> ModelStatic:
         um_morph=cat(um_m, (0,), np.int32),
         um_vertex=cat(um_v, (0,), np.int32),
         um_offset=cat(um_o, (0, 2), np.float32),
+        xum_morph=cat(xum_m, (0,), np.int32),
+        xum_vertex=cat(xum_v, (0,), np.int32),
+        xum_channel=cat(xum_c, (0,), np.int32),
+        xum_offset=cat(xum_o, (0, 4), np.float32),
+        extra_uvs=extra_uvs.astype(np.float32),
         mm_morph=np.asarray(mm_m, np.int32),
         mm_part=np.asarray(mm_p, np.int32),
         mm_method=np.asarray(mm_me, np.int32),

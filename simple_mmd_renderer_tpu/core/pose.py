@@ -121,6 +121,26 @@ def uv_morph_offsets(static: ModelStatic, leaf_rates: jnp.ndarray):
         jnp.asarray(static.um_offset) * rates[:, None])
 
 
+def ext_uv_morph_offsets(static: ModelStatic, leaf_rates: jnp.ndarray):
+    """[N,E,4] offsets from MORPH_EXT_UV_1..4 entries at the given leaf
+    rates (E = the model's declared extra-UV channel count).
+
+    Beyond-parity D5 completion: the reference parses ext-UV morphs and
+    never applies them (poser_impl.inl:355-358); the built-in shader here
+    samples no extra-UV channel either, so these offsets feed
+    Scene.morphed_extra_uvs for custom-effect consumers."""
+    n = len(static.positions)
+    e = static.extra_uvs.shape[1]
+    out = jnp.zeros((n, max(e, 1), 4), jnp.float32)[:, :e]
+    if len(static.xum_morph) == 0 or static.n_morphs == 0 or e == 0:
+        return out
+    rates = leaf_rates[jnp.asarray(static.xum_morph)]
+    flat = (jnp.asarray(static.xum_vertex) * e
+            + jnp.asarray(static.xum_channel))
+    return out.reshape(n * e, 4).at[flat].add(
+        jnp.asarray(static.xum_offset) * rates[:, None]).reshape(n, e, 4)
+
+
 def material_morph_factors(static: ModelStatic, leaf_rates: jnp.ndarray):
     """-> (mul [P,3], add [P,3]) albedo modifiers from material morphs.
 

@@ -162,6 +162,18 @@ class Scene:
                                                  sdef=cfg.sdef_true)
         return SimState(time=time, physics=physics), pose, positions, normals
 
+    def morphed_extra_uvs(self, pose):
+        """[N,E,4] extra-UV channels with the frame's ext-UV morphs applied
+        (rest values + pose-rate offsets). The built-in shader samples no
+        extra-UV channel — this is the query surface for custom effects;
+        gated like the other extended morphs (AppConfig.apply_extended_morphs
+        governs whether callers should apply it)."""
+        base = jnp.asarray(self.static.extra_uvs)
+        if self.static.n_morphs == 0 or not len(self.static.xum_morph):
+            return base
+        return base + pose_mod.ext_uv_morph_offsets(self.static,
+                                                    pose.leaf_rates)
+
     def step_and_render(self, state: SimState, width=None, height=None,
                         camera_override=None, atlas=None,
                         proj_transform=None, aspect=None):
