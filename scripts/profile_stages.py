@@ -260,7 +260,7 @@ def main():
         tiles_x = -(-width // tr.TILE_W)
         tiles_y = -(-height // tr.TILE_H)
         n_tiles = tiles_x * tiles_y
-        tile, big = tr._expand_tiles(s, width, height, em)
+        tile, band, big = tr._expand_tiles(s, width, height, em)
         t = tile.shape[0]
         valid_tri = tile[:, 0] < n_tiles
         n_valid = jnp.sum(valid_tri.astype(jnp.int32))

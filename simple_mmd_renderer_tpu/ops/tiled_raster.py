@@ -57,7 +57,7 @@ def _setup_rows(s, tri_ids, attrs=None):
     edge-function form; w0 comes free as 1 - w1 - w2.
 
     Base layout (16 lanes): ax, ay, w1x, w1y, w2x, w2y, z0, zx, zy, valid,
-    tri_id, pad (5). With attrs [V,A]: den plane (3) + per-attr numerator
+    tri_id, ymin, ymax, pad (3). With attrs [V,A]: den plane (3) + per-attr numerator
     planes (3A) appended (den = sum w_i/w_clip_i, num_a = sum w_i a_i/w_i —
     perspective-correct interpolation as in raster.interpolate), padded to a
     multiple of 8 lanes."""
@@ -67,6 +67,12 @@ def _setup_rows(s, tri_ids, attrs=None):
     ax, ay = xy[:, 0, 0], xy[:, 0, 1]
     bx, by = xy[:, 1, 0], xy[:, 1, 1]
     cx, cy = xy[:, 2, 0], xy[:, 2, 1]
+    # vertical screen bbox (lanes 11/12): the kernel restricts each entry
+    # GROUP's plane evaluation to the rows its triangles can cover (most
+    # triangles span a few rows of a 32-row tile). Clamped to a safe int
+    # range — invalid triangles carry arbitrary screen coords.
+    ymin_r = jnp.clip(jnp.minimum(jnp.minimum(ay, by), cy), 0.0, 65535.0)
+    ymax_r = jnp.clip(jnp.maximum(jnp.maximum(ay, by), cy), 0.0, 65535.0)
 
     # slopes of the barycentric planes (constants vanish at the anchor):
     # w1 = e20/area has gradient ((cy-ay), (ax-cx))/area
@@ -90,7 +96,7 @@ def _setup_rows(s, tri_ids, attrs=None):
         ax, ay, w1x, w1y, w2x, w2y, z0, zx, zy,
         s["valid"].astype(jnp.float32),
         tri_ids.astype(jnp.float32),
-        jnp.zeros_like(z0), jnp.zeros_like(z0),
+        ymin_r, ymax_r,
         jnp.zeros_like(z0), jnp.zeros_like(z0), jnp.zeros_like(z0),
     ]
     if attrs is not None:
@@ -113,7 +119,12 @@ def _setup_rows(s, tri_ids, attrs=None):
 
 def _expand_tiles(s, width, height, e_max, tile_h=None):
     """Per-triangle covered-tile enumeration -> (tile [T, E] with n_tiles
-    for invalid/pad slots, big [T] oversized-triangle mask)."""
+    for invalid/pad slots, band [T, E] 8-row band of the triangle's first
+    covered row within each tile, big [T] oversized-triangle mask).
+
+    `band` feeds the sort key so a tile's entries arrive grouped by
+    vertical position — entry GROUPs then share tight row windows in the
+    kernel. Purely a locality hint: correctness never depends on it."""
     tile_h = tile_h or TILE_H
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // tile_h)
@@ -155,20 +166,51 @@ def _expand_tiles(s, width, height, e_max, tile_h=None):
     tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)  # [T,E]
     mask = small[:, None] & (e < n_cover[:, None])
     tile = jnp.where(mask, tile, n_tiles)                     # invalid -> pad
-    return tile, big
+    # row-window CATEGORY of each entry within its tile: 0/1/2 = every
+    # coverable row fits the static WIN-row window at rows [8k, 8k+WIN),
+    # 3 = spans beyond any window (evaluated full-tile). The kernel runs
+    # one branch-free loop per category with STATIC window offsets; the
+    # +-1 row pad covers pixel-center and MSAA sample offsets (<= 0.5 px).
+    if _n_cats(tile_h) > 1:
+        lo = jnp.floor(ymin).astype(jnp.int32)[:, None] - 1 \
+            - (ty0[:, None] + dy) * tile_h
+        hi = jnp.floor(ymax).astype(jnp.int32)[:, None] + 1 \
+            - (ty0[:, None] + dy) * tile_h
+        o = jnp.clip((lo // 8) * 8, 0, tile_h - WIN)
+        fits = jnp.minimum(hi, tile_h - 1) < o + WIN
+        cat = jnp.where(fits, o >> 3, (tile_h - WIN) // 8 + 1)
+    else:
+        cat = jnp.zeros_like(tile)
+    return tile, cat, big
 
 
-def _packed_sort(flat_tile, flat_tri, t, n_segments):
-    """Sort (tile, tri) pairs lexicographically -> (sorted_tri [N],
-    segment starts [n_segments + 2], incl. the pad segment boundary).
+def _n_cats(tile_h) -> int:
+    """Number of row-window categories per tile (see _expand_tiles): one
+    per static WIN-row window position plus the full-span class. 1 unless
+    the experimental window path is enabled (see RASTER_WINDOWS)."""
+    return ((tile_h - WIN) // 8 + 2
+            if RASTER_WINDOWS and tile_h > WIN else 1)
+
+
+def _packed_sort(flat_tile, flat_tri, t, n_segments, flat_band=None, nb=1):
+    """Sort (tile[, cat], tri) tuples lexicographically -> (sorted_tri [N],
+    SUB-segment starts [n_segments*nb + 1]): starts[s*nb + k] bounds tile
+    s's category-k entries; starts[s*nb] is the tile's first entry and
+    starts[n_segments*nb] the pad-segment boundary. nb = 1 reproduces the
+    plain per-tile starts.
 
     Fast path: ONE packed int32 key (tile << tri_bits | tri) through an
     unstable single-operand sort — keys are unique, so this is equivalent
-    to a stable pair sort (tri in the low bits reproduces draw order for
-    z-ties) and markedly cheaper; the pair sort + two permutation gathers
-    was the most expensive piece of this whole pass. (A histogram+cumsum
-    formulation is ~3x slower still: scatter-add with ~100k collisions
-    into 2k bins serializes on TPU.)
+    to a stable pair sort and markedly cheaper; the pair sort + two
+    permutation gathers was the most expensive piece of this whole pass.
+    (A histogram+cumsum formulation is ~3x slower still: scatter-add with
+    ~100k collisions into 2k bins serializes on TPU.) Entry order within a
+    tile does NOT affect results: the kernel breaks z-ties by triangle id
+    (max id wins — exactly the scan raster's later-draw-wins rule), so the
+    `cat` bits may group entries by row-window category; when the widened
+    key would overflow int32, categories are dropped and the sub-starts
+    degenerate to repeated tile starts (every entry lands in the full-span
+    loop — exact, just unwindowed).
 
     tri_bits is sized to the actual triangle count (trace-time constant),
     so the int32 budget covers (segments+1) * t up to 2^31 — e.g. 4.2M
@@ -178,6 +220,16 @@ def _packed_sort(flat_tile, flat_tri, t, n_segments):
     jax_enable_x64)."""
     tri_bits = max(int(t - 1).bit_length(), 1)
     bound = jnp.arange(n_segments + 1, dtype=jnp.int32)
+    if (flat_band is not None and nb > 1
+            and (n_segments + 1) * nb <= (1 << (31 - tri_bits))):
+        sub_bound = jnp.arange(n_segments * nb + 1, dtype=jnp.int32)
+        packed = jax.lax.sort(
+            (flat_tile * nb + flat_band) * (1 << tri_bits) + flat_tri,
+            is_stable=False)
+        sorted_tri = packed & ((1 << tri_bits) - 1)
+        return sorted_tri, jnp.searchsorted(
+            packed, sub_bound * (1 << tri_bits),
+            side="left").astype(jnp.int32)
     if (n_segments + 1) <= (1 << (31 - tri_bits)):
         packed = jax.lax.sort(flat_tile * (1 << tri_bits) + flat_tri,
                               is_stable=False)
@@ -189,32 +241,38 @@ def _packed_sort(flat_tile, flat_tri, t, n_segments):
             (flat_tile, flat_tri), num_keys=2, is_stable=False)
         start = jnp.searchsorted(sorted_tile, bound,
                                  side="left").astype(jnp.int32)
+    if nb > 1:   # degenerate sub-starts: all entries in the full-span loop
+        start = jnp.concatenate(
+            [jnp.repeat(start[:n_segments], nb), start[n_segments:]])
     return sorted_tri, start
 
 
 def _bin(s, rows, width, height, e_max, chunk, tile_h=None):
-    """-> (sorted_rows [T*E + chunk pad, W], starts [n_tiles],
+    """-> (sorted_rows [T*E + chunk pad, W], sub-starts [n_tiles*nb + 1],
     counts [n_tiles], big_mask [T]).
 
-    Entries are sorted by tile (stable, preserving draw order) and the ROWS
-    are gathered into that order, so each tile's entries are contiguous: the
-    kernel DMAs its [start, start+K) window straight from HBM — no dense-bin
-    scatter (which costs more than everything else in this pass combined)."""
+    Entries are sorted by (tile, row-window category) and the ROWS are
+    gathered into that order, so each tile's entries are contiguous (and
+    internally grouped by category — see _expand_tiles): the kernel DMAs
+    its [start, start+K) window straight from HBM — no dense-bin scatter
+    (which costs more than everything else in this pass combined)."""
     tile_h = tile_h or TILE_H
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // tile_h)
     n_tiles = tiles_x * tiles_y
-    tile, big = _expand_tiles(s, width, height, e_max, tile_h)
+    nb = _n_cats(tile_h)
+    tile, cat, big = _expand_tiles(s, width, height, e_max, tile_h)
 
     flat_tile = tile.reshape(-1)
     t = tile.shape[0]
     flat_tri = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, e_max)).reshape(-1)
 
-    sorted_tri, start = _packed_sort(flat_tile, flat_tri, t, n_tiles)
+    sorted_tri, start = _packed_sort(flat_tile, flat_tri, t, n_tiles,
+                                     cat.reshape(-1), nb)
     # counts are UNCAPPED: the kernel streams a tile's entries in chunks,
     # so a dense tile never silently drops geometry
-    counts = (start[1:] - start[:-1]).astype(jnp.int32)
+    counts = (start[nb::nb] - start[:-1:nb]).astype(jnp.int32)
 
     # pad entries (tile == n_tiles) sort to the tail but carry their real
     # triangle ids — scattered gather addresses for rows nobody reads. At
@@ -224,7 +282,7 @@ def _bin(s, rows, width, height, e_max, chunk, tile_h=None):
     # funneling millions of duplicate addresses onto one row.
     eidx = jnp.arange(sorted_tri.shape[0], dtype=jnp.int32)
     spread = 256 if t >= 256 else 1      # power of two; & not emulated %
-    sorted_tri = jnp.where(eidx < start[n_tiles], sorted_tri,
+    sorted_tri = jnp.where(eidx < start[n_tiles * nb], sorted_tri,
                            eidx & (spread - 1))
 
     # gather rows NARROW (random row gathers cost ~3x more at 128 lanes),
@@ -236,7 +294,7 @@ def _bin(s, rows, width, height, e_max, chunk, tile_h=None):
     sorted_rows = rows[sorted_tri]
     lane_pad = (-rows.shape[1]) % 128
     sorted_rows = jnp.pad(sorted_rows, ((0, chunk), (0, lane_pad)))
-    return sorted_rows, start[:n_tiles], counts, big
+    return sorted_rows, start[:n_tiles * nb + 1], counts, big
 
 
 # validity-compacted PREFIX binning for the single-instance paths. Most
@@ -268,8 +326,9 @@ def _bin_prefix(s, rows, width, height, e_max, chunk, run, tile_h=None):
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // tile_h)
     n_tiles = tiles_x * tiles_y
-    tile, big = _expand_tiles(s, width, height, e_max, tile_h)
+    tile, cat, big = _expand_tiles(s, width, height, e_max, tile_h)
     t = tile.shape[0]
+    nb = _n_cats(tile_h)
     # slot 0 is real iff the triangle produced any entry at all
     valid_tri = tile[:, 0] < n_tiles
     n_valid = jnp.sum(valid_tri.astype(jnp.int32))
@@ -285,19 +344,22 @@ def _bin_prefix(s, rows, width, height, e_max, chunk, run, tile_h=None):
     def make_branch(c_n):
         def branch(_):
             ids = jax.lax.slice(cids, (0,), (c_n,))
-            flat_tile = tile[ids].reshape(-1)
+            g = jnp.concatenate([tile, cat], -1)[ids]    # one fused gather
+            flat_tile = g[:, :e_max].reshape(-1)
+            flat_cat = g[:, e_max:].reshape(-1)
             flat_tri = jnp.broadcast_to(ids[:, None],
                                         (c_n, e_max)).reshape(-1)
-            sorted_tri, start = _packed_sort(flat_tile, flat_tri, t, n_tiles)
-            counts = (start[1:] - start[:-1]).astype(jnp.int32)
+            sorted_tri, start = _packed_sort(flat_tile, flat_tri, t, n_tiles,
+                                             flat_cat, nb)
+            counts = (start[nb::nb] - start[:-1:nb]).astype(jnp.int32)
             # pin pad entries' gather addresses (see _bin)
             eidx = jnp.arange(sorted_tri.shape[0], dtype=jnp.int32)
             spread = 256 if t >= 256 else 1
-            sorted_tri = jnp.where(eidx < start[n_tiles], sorted_tri,
+            sorted_tri = jnp.where(eidx < start[n_tiles * nb], sorted_tri,
                                    eidx & (spread - 1))
             sorted_rows = rows[sorted_tri]
             sorted_rows = jnp.pad(sorted_rows, ((0, chunk), (0, lane_pad)))
-            return run(sorted_rows, start[:n_tiles], counts)
+            return run(sorted_rows, start[:n_tiles * nb + 1], counts)
         return branch
 
     sizes = sorted({min(t, -(-(t * num) // den)) for num, den in COMPACT_RUNGS}
@@ -313,22 +375,74 @@ def _bin_prefix(s, rows, width, height, e_max, chunk, run, tile_h=None):
 # entries processed per kernel loop iteration: per-entry scalar reads and
 # loop control dominated the sequential kernel (tile-height sweeps showed
 # ~2/3 fixed cost per entry), so entries are batched into sublane groups and
-# every plane is evaluated as one [GROUP, TILE_H, TILE_W] vector op
+# every plane is evaluated as one [GROUP, rows, TILE_W] vector op
 GROUP = 8
+
+# static row-window height: a tile's entries arrive sorted by window
+# category (_expand_tiles), so the kernel evaluates each category's groups
+# on a STATIC [o, o+WIN) row slice of the tile — most MMD triangles span a
+# few pixels, and halving the evaluated rows halves the per-entry vector
+# work. Category boundaries ride the sub-starts array; groups straddling a
+# boundary are simply (re)evaluated in a wider loop — exact, because the
+# z-tie rule is order-independent and re-processing an entry is a no-op.
+WIN = 16
+
+# row-window categories are EXPERIMENTAL: exact and tested on CPU
+# (interpret), but the current libtpu Mosaic crashes applying vector
+# layouts to the windowed bodies (xla::Array::Slice check in
+# vector_extract_strided_slice_rule) — see scripts/probe_band_kernel.py.
+# Default OFF: _n_cats() == 1 reproduces the r4 kernel structure (single
+# full-tile loop, leading-dim entry indexing) bit-for-bit.
+RASTER_WINDOWS = os.environ.get("MMD_RASTER_WINDOWS", "0") == "1"
+
+
+def _splice(full, part, o):
+    """Replace rows [o, o+len(part)) of `full` (static o) — register-level
+    on TPU: static row slices of a value are vreg selections."""
+    wh = part.shape[0]
+    if wh == full.shape[0]:
+        return part
+    parts = []
+    if o:
+        parts.append(full[:o])
+    parts.append(part)
+    if o + wh < full.shape[0]:
+        parts.append(full[o + wh:])
+    return jnp.concatenate(parts, 0)
+
+
+def _window_loops(nb, bounds, cstart, n_groups, run_win, run_full, carry):
+    """Drive the per-chunk category sub-loops: category k (k < nb-1) groups
+    run the static-window body at o = 8k, everything else (the span
+    category and every boundary-straddling group) runs the full-tile body.
+    Window k's range is [floor(prev boundary / G), ceil(boundary k / G)) —
+    boundary groups overlap into the neighboring window where they only
+    re-process entries (a no-op under the id z-tie rule) or evaluate a
+    subset of a foreign entry's rows (its own window/full loop covers the
+    rest)."""
+    if nb == 1:
+        return run_full(0, n_groups, carry)
+    rel = [jnp.clip(b - cstart, 0, n_groups * GROUP) for b in bounds]
+    lo = 0
+    for k in range(nb - 1):
+        hi = (rel[k] + GROUP - 1) // GROUP
+        carry = run_win(8 * k, lo, hi, carry)
+        lo = rel[k] // GROUP
+    return run_full(lo, n_groups, carry)
 
 
 def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
                    b1_ref, b2_ref, attr_ref, scratch, sem, *, tiles_x,
-                   n_attrs, chunk, inst_tiles=0):
+                   n_attrs, chunk, inst_tiles=0, nb=1):
     i = pl.program_id(0)
     local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
     ty = local // tiles_x
     tx = local % tiles_x
     y0 = (ty * TILE_H).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+    ys_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
         jnp.float32) + (y0 + 0.5)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+    xs_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
         jnp.float32) + (x0 + 0.5)
 
     # this tile's entries are contiguous in HBM and streamed through VMEM in
@@ -336,7 +450,8 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     # never drop geometry) and DMA traffic is proportional to the tile's
     # actual entry count, with the next chunk's copy overlapping compute
     count = counts_ref[i]
-    start = starts_ref[i]
+    start = starts_ref[i * nb]
+    bounds = [starts_ref[i * nb + k] for k in range(1, nb)]
     n_chunks = (count + chunk - 1) // chunk
 
     def chunk_dma(slot, c):
@@ -348,23 +463,24 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(g, slot, limit, carry):
-        """One GROUP of entries: all plane math vectorized over the group
-        axis ([G,TH,TW] tensors, no per-entry scalar extracts), then the
-        per-entry depth/attr selects statically unrolled. The trailing
-        group is masked to `limit` entries: over-read rows may belong to a
-        DIFFERENT instance in the fused crowd grid (whose coverage is
-        unrelated to this tile) — within one instance they would be later
-        tiles' entries or valid=0 pad rows, but the mask makes all cases
-        safe."""
+    def body(g, slot, limit, carry, o, wh):
+        """One GROUP of entries on the STATIC row window [o, o+wh): plane
+        math vectorized over the group axis ([G,wh,TW] tensors, no
+        per-entry scalar extracts), then the per-entry depth/attr selects
+        statically unrolled against window slices of the carries. The
+        trailing group is masked to `limit` entries: over-read rows may
+        belong to a DIFFERENT instance in the fused crowd grid (whose
+        coverage is unrelated to this tile) — within one instance they
+        would be later tiles' entries or valid=0 pad rows, but the mask
+        makes all cases safe."""
         depth, tri, b1v, b2v, num, den = carry
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]      # [G, W]
 
         def col(c):
             return rg[:, c][:, None, None]                  # [G,1,1]
 
-        dx = xs[None] - col(0)                              # [G,TH,TW]
-        dy = ys[None] - col(1)
+        dx = xs_f[o:o + wh][None] - col(0)                  # [G,wh,TW]
+        dy = ys_f[o:o + wh][None] - col(1)
 
         def plane(base):
             return col(base) + col(base + 1) * dx + col(base + 2) * dy
@@ -383,23 +499,62 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
         tid = rg[:, 10]                                     # [G]
 
-        # attribute accumulators are a TUPLE of [TH,TW] planes, not one
-        # stacked [na,TH,TW] tensor: re-stacking inside the unrolled entry
+        # full-tile body (the default, and the only one when nb == 1):
+        # committed r4 form — leading-dim entry indexing, no carry slices.
+        # Windowed body (experimental, see RASTER_WINDOWS): per-entry plane
+        # tensors flattened to [G*wh, TW] and sliced STATICALLY on the
+        # sublane axis — leading-dim indexing of a [G,wh,TW] value crashes
+        # this Mosaic version's layout inference (xla::Array::Slice check).
+        full_body = o == 0 and wh == depth.shape[0]
+        if full_body:
+            flat = lambda x: x
+            ent = lambda x3, g_i: x3[g_i]
+            sl = lambda x: x
+        else:
+            flat = lambda x: x.reshape(GROUP * wh, TILE_W)
+            ent = lambda x2, g_i: x2[g_i * wh:(g_i + 1) * wh]
+            sl = lambda x: x[o:o + wh]
+        zm2, w12, w22 = flat(zm), flat(w1), flat(w2)
+        if n_attrs:
+            den2 = flat(den_p)
+            num2 = [flat(x) for x in num_p]
+
+        # carries sliced to the window (STATIC slices: vreg selections)
+        d = sl(depth)
+        tr = sl(tri)
+        b1s = sl(b1v)
+        b2s = sl(b2v)
+        if n_attrs:
+            dn = sl(den)
+            nm = [sl(x) for x in num]
+
+        # attribute accumulators are a TUPLE of [wh,TW] planes, not one
+        # stacked [na,wh,TW] tensor: re-stacking inside the unrolled entry
         # loop forced a relayout per select in Mosaic and roughly doubled
         # the per-channel cost (measured 4 ms for +2 UV channels at any
         # resolution before this change)
         for g_i in range(GROUP):                            # static unroll
-            zg = zm[g_i]
-            passed = zg <= depth
-            depth = jnp.where(passed, zg, depth)
-            tri = jnp.where(passed, tid[g_i].astype(jnp.int32), tri)
-            b1v = jnp.where(passed, w1[g_i], b1v)
-            b2v = jnp.where(passed, w2[g_i], b2v)
+            zg = ent(zm2, g_i)
+            tid_i = tid[g_i].astype(jnp.int32)
+            # z-ties break by draw id (max id wins — exactly the scan
+            # raster's later-draw-wins rule): entry ORDER never matters, so
+            # category sorting and boundary re-processing stay exact
+            passed = (zg < d) | ((zg == d) & (tid_i > tr))
+            d = jnp.where(passed, zg, d)
+            tr = jnp.where(passed, tid_i, tr)
+            b1s = jnp.where(passed, ent(w12, g_i), b1s)
+            b2s = jnp.where(passed, ent(w22, g_i), b2s)
             if n_attrs:
-                den = jnp.where(passed, den_p[g_i], den)
-                num = tuple(
-                    jnp.where(passed, num_p[a][g_i], num[a])
-                    for a in range(n_attrs))
+                dn = jnp.where(passed, ent(den2, g_i), dn)
+                nm = [jnp.where(passed, ent(num2[a], g_i), nm[a])
+                      for a in range(n_attrs)]
+        depth = _splice(depth, d, o)
+        tri = _splice(tri, tr, o)
+        b1v = _splice(b1v, b1s, o)
+        b2v = _splice(b2v, b2s, o)
+        if n_attrs:
+            den = _splice(den, dn, o)
+            num = tuple(_splice(num[a], nm[a], o) for a in range(n_attrs))
         return depth, tri, b1v, b2v, num, den
 
     na = max(n_attrs, 1)
@@ -421,8 +576,18 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
-        return jax.lax.fori_loop(
-            0, n_groups, lambda g, cr: body(g, slot, n_here, cr), carry)
+
+        def run_win(o, lo, hi, cr):
+            return jax.lax.fori_loop(
+                lo, hi, lambda g, c_: body(g, slot, n_here, c_, o, WIN), cr)
+
+        def run_full(lo, hi, cr):
+            return jax.lax.fori_loop(
+                lo, hi,
+                lambda g, c_: body(g, slot, n_here, c_, 0, TILE_H), cr)
+
+        return _window_loops(nb, bounds, start + c * chunk, n_groups,
+                             run_win, run_full, carry)
 
     depth, tri, b1v, b2v, num, den = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
@@ -438,6 +603,7 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         attr_ref[...] = jnp.stack(num).reshape(attr_ref.shape)
 
 
+
 # D3D11/OpenGL standard 4x MSAA sample pattern (pixel units from center)
 MSAA4_OFFSETS = ((-0.125, -0.375), (0.375, -0.125),
                  (-0.375, 0.125), (0.125, 0.375))
@@ -445,7 +611,8 @@ MSAA4_OFFSETS = ((-0.125, -0.375), (0.375, -0.125),
 
 def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
                       b1_ref, b2_ref, attr_ref, sdepth_ref, scratch, sem, *,
-                      tiles_x, n_attrs, chunk, inst_tiles=0, unbias=True):
+                      tiles_x, n_attrs, chunk, inst_tiles=0, unbias=True,
+                      nb=1):
     """4x-MSAA variant of _raster_kernel: per-pixel center visibility +
     attributes (coverage extended to any-sample so edge pixels carry valid
     attributes, like non-centroid GPU interpolation) plus PER-SAMPLE depth
@@ -454,20 +621,23 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     `inst_tiles` > 0 folds the fused multi-instance (crowd) grid exactly as
     in _raster_kernel. `unbias=False` keeps the +2 edge-extrapolation depth
     bias in the output so multi-pass callers can merge passes with the
-    center-beats-edge rule intact, un-biasing once at the end."""
+    center-beats-edge rule intact, un-biasing once at the end. Category
+    sub-loops with static row windows as in _raster_kernel (the category's
+    +-1 row pad covers the +-0.375 px sample offsets)."""
     i = pl.program_id(0)
     local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
     ty = local // tiles_x
     tx = local % tiles_x
     y0 = (ty * TILE_H).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+    ys_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
         jnp.float32) + (y0 + 0.5)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+    xs_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
         jnp.float32) + (x0 + 0.5)
 
     count = counts_ref[i]
-    start = starts_ref[i]
+    start = starts_ref[i * nb]
+    bounds = [starts_ref[i * nb + k] for k in range(1, nb)]
     n_chunks = (count + chunk - 1) // chunk
 
     def chunk_dma(slot, c):
@@ -479,17 +649,18 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(g, slot, limit, carry):
-        """One GROUP of entries, plane math vectorized over the group axis
-        (see _raster_kernel.body for the tail-mask rationale)."""
+    def body(g, slot, limit, carry, o, wh):
+        """One GROUP of entries on the static window [o, o+wh), plane math
+        vectorized over the group axis (see _raster_kernel.body for the
+        tail-mask and window rationale)."""
         depth, tri, b1v, b2v, num, den, sdepth = carry
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
 
         def col(c):
             return rg[:, c][:, None, None]
 
-        dx = xs[None] - col(0)
-        dy = ys[None] - col(1)
+        dx = xs_f[o:o + wh][None] - col(0)
+        dy = ys_f[o:o + wh][None] - col(1)
 
         def plane(base):
             return col(base) + col(base + 1) * dx + col(base + 2) * dy
@@ -499,6 +670,8 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         zp = plane(6)
         valid = col(9) > 0.0
         tid = rg[:, 10]
+        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+                < limit - g * GROUP)
 
         szm = []
         cover_any = None
@@ -511,7 +684,7 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             zs = zp + dz
             cover_s = (w1s >= 0) & (w2s >= 0) & (w1s + w2s <= 1.0) & valid
             cover_any = cover_s if cover_any is None else (cover_any | cover_s)
-            szm.append(jnp.where(cover_s & (zs >= 0.0), zs, 2.0))
+            szm.append(jnp.where(cover_s & (zs >= 0.0) & in_r, zs, 2.0))
 
         # center visibility with any-sample coverage (edge pixels keep the
         # front surface's attributes even when the exact center is outside).
@@ -519,31 +692,62 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         # true center-covering triangle always beats an edge extrapolation —
         # the stored center visibility stays exact wherever it exists.
         cover_c = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0)
-        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
-                < limit - g * GROUP)
-        szm = [jnp.where(in_r, z, 2.0) for z in szm]
         zb = jnp.where(cover_any & in_r & (zp >= 0.0) & (zp <= 1.0),
                        zp + jnp.where(cover_c, 0.0, 2.0), 4.0)
         if n_attrs:
             den_p = plane(BASE_WIDTH)
             num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
 
+        # full-tile body = committed r4 form; windowed body flattens to
+        # [G*wh, TW] + static row slices (see _raster_kernel.body)
+        full_body = o == 0 and wh == depth.shape[0]
+        if full_body:
+            flat = lambda x: x
+            ent = lambda x3, g_i: x3[g_i]
+            sl = lambda x: x
+        else:
+            flat = lambda x: x.reshape(GROUP * wh, TILE_W)
+            ent = lambda x2, g_i: x2[g_i * wh:(g_i + 1) * wh]
+            sl = lambda x: x[o:o + wh]
+        zb2, w12, w22 = flat(zb), flat(w1), flat(w2)
+        szm2 = [flat(z) for z in szm]
+        if n_attrs:
+            den2 = flat(den_p)
+            num2 = [flat(x) for x in num_p]
+
+        d = sl(depth)
+        tr = sl(tri)
+        b1s = sl(b1v)
+        b2s = sl(b2v)
+        sd = [sl(x) for x in sdepth]
+        if n_attrs:
+            dn = sl(den)
+            nm = [sl(x) for x in num]
+
         # per-channel tuple carries (see _raster_kernel.body: re-stacking
         # inside the unrolled loop costs a relayout per select)
         for g_i in range(GROUP):                     # static unroll
-            sdepth = tuple(jnp.minimum(sdepth[s], szm[s][g_i])
-                           for s in range(4))
-            zg = zb[g_i]
-            passed = zg <= depth
-            depth = jnp.where(passed, zg, depth)
-            tri = jnp.where(passed, tid[g_i].astype(jnp.int32), tri)
-            b1v = jnp.where(passed, w1[g_i], b1v)
-            b2v = jnp.where(passed, w2[g_i], b2v)
+            sd = [jnp.minimum(sd[s], ent(szm2[s], g_i)) for s in range(4)]
+            zg = ent(zb2, g_i)
+            tid_i = tid[g_i].astype(jnp.int32)
+            # z-ties break by draw id (max id wins), see _raster_kernel
+            passed = (zg < d) | ((zg == d) & (tid_i > tr))
+            d = jnp.where(passed, zg, d)
+            tr = jnp.where(passed, tid_i, tr)
+            b1s = jnp.where(passed, ent(w12, g_i), b1s)
+            b2s = jnp.where(passed, ent(w22, g_i), b2s)
             if n_attrs:
-                den = jnp.where(passed, den_p[g_i], den)
-                num = tuple(
-                    jnp.where(passed, num_p[a][g_i], num[a])
-                    for a in range(n_attrs))
+                dn = jnp.where(passed, ent(den2, g_i), dn)
+                nm = [jnp.where(passed, ent(num2[a], g_i), nm[a])
+                      for a in range(n_attrs)]
+        depth = _splice(depth, d, o)
+        tri = _splice(tri, tr, o)
+        b1v = _splice(b1v, b1s, o)
+        b2v = _splice(b2v, b2s, o)
+        sdepth = tuple(_splice(sdepth[s], sd[s], o) for s in range(4))
+        if n_attrs:
+            den = _splice(den, dn, o)
+            num = tuple(_splice(num[a], nm[a], o) for a in range(n_attrs))
         return depth, tri, b1v, b2v, num, den, sdepth
 
     na = max(n_attrs, 1)
@@ -567,8 +771,18 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
-        return jax.lax.fori_loop(
-            0, n_groups, lambda g, cr: body(g, slot, n_here, cr), carry)
+
+        def run_win(o, lo, hi, cr):
+            return jax.lax.fori_loop(
+                lo, hi, lambda g, c_: body(g, slot, n_here, c_, o, WIN), cr)
+
+        def run_full(lo, hi, cr):
+            return jax.lax.fori_loop(
+                lo, hi,
+                lambda g, c_: body(g, slot, n_here, c_, 0, TILE_H), cr)
+
+        return _window_loops(nb, bounds, start + c * chunk, n_groups,
+                             run_win, run_full, carry)
 
     depth, tri, b1v, b2v, num, den, sdepth = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
@@ -587,6 +801,7 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             attr_ref.shape)
     else:
         attr_ref[...] = jnp.stack(num).reshape(attr_ref.shape)
+
 
 
 def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
@@ -618,7 +833,7 @@ def _run_kernel_ms(sorted_rows, starts, counts, width, height, n_attrs,
     )
     depth, tri, b1, b2, attr, sdepth = pl.pallas_call(
         partial(_raster_kernel_ms, tiles_x=tiles_x, n_attrs=n_attrs,
-                chunk=chunk),
+                chunk=chunk, nb=_n_cats(TILE_H)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
@@ -680,20 +895,23 @@ def rasterize_attrs_tiled_msaa(clip, tris, attrs, width, height,
     return vis, attr, sdepth
 
 
-def _depth_tile_loop(start, count, ty, tx, rows_hbm, scratch, sem, chunk,
-                     tile_h):
+def _depth_tile_loop(sub_starts, count, ty, tx, rows_hbm, scratch, sem,
+                     chunk, tile_h, nb):
     """Shared depth-only tile loop: stream the tile's entry window from HBM
-    in double-buffered chunks and fold the depth min. (ty, tx) are FULL-map
-    tile coordinates, so pixel arithmetic is identical whether the kernel
-    runs the whole grid or a window of it. Returns the [tile_h, TILE_W]
-    depth tile."""
+    in double-buffered chunks and fold the depth min, category sub-loops
+    with static row windows as in _raster_kernel (min-folds are trivially
+    idempotent). `sub_starts` = [start, m1, .., m_{nb-1}] scalar bounds.
+    (ty, tx) are FULL-map tile coordinates, so pixel arithmetic is
+    identical whether the kernel runs the whole grid or a window of it.
+    Returns the [tile_h, TILE_W] depth tile."""
     y0 = (ty * tile_h).astype(jnp.float32)
     x0 = (tx * TILE_W).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0).astype(
+    ys_f = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0).astype(
         jnp.float32) + (y0 + 0.5)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1).astype(
+    xs_f = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1).astype(
         jnp.float32) + (x0 + 0.5)
 
+    start = sub_starts[0]
     n_chunks = (count + chunk - 1) // chunk
 
     def chunk_dma(slot, c):
@@ -705,7 +923,7 @@ def _depth_tile_loop(start, count, ty, tx, rows_hbm, scratch, sem, chunk,
     def _():
         chunk_dma(0, 0).start()
 
-    def body(g, slot, limit, depth):
+    def body(g, slot, limit, depth, o, wh):
         # one GROUP of entries vectorized over the group axis; the min over
         # the group needs no winner tracking (depth only). The tail mask
         # covers over-read rows (other instances' entries in the fused
@@ -715,8 +933,8 @@ def _depth_tile_loop(start, count, ty, tx, rows_hbm, scratch, sem, chunk,
         def col(c):
             return rg[:, c][:, None, None]
 
-        dx = xs[None] - col(0)
-        dy = ys[None] - col(1)
+        dx = xs_f[o:o + wh][None] - col(0)
+        dy = ys_f[o:o + wh][None] - col(1)
         w1 = col(2) * dx + col(3) * dy
         w2 = col(4) * dx + col(5) * dy
         zp = col(6) + col(7) * dx + col(8) * dy
@@ -725,9 +943,17 @@ def _depth_tile_loop(start, count, ty, tx, rows_hbm, scratch, sem, chunk,
         in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
                 < limit - g * GROUP)
         zm = jnp.where(ok & in_r, zp, 2.0)
+        if o == 0 and wh == depth.shape[0]:   # committed r4 form
+            for g_i in range(GROUP):
+                depth = jnp.minimum(depth, zm[g_i])
+            return depth
+        # windowed body: [G*wh, TW] + static row slices (experimental,
+        # see _raster_kernel.body and RASTER_WINDOWS)
+        zm2 = zm.reshape(GROUP * wh, TILE_W)
+        d = depth[o:o + wh]
         for g_i in range(GROUP):
-            depth = jnp.minimum(depth, zm[g_i])
-        return depth
+            d = jnp.minimum(d, zm2[g_i * wh:(g_i + 1) * wh])
+        return _splice(depth, d, o)
 
     def chunk_body(c, depth):
         slot = jax.lax.rem(c, 2)
@@ -739,15 +965,25 @@ def _depth_tile_loop(start, count, ty, tx, rows_hbm, scratch, sem, chunk,
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
-        return jax.lax.fori_loop(
-            0, n_groups, lambda g, d: body(g, slot, n_here, d), depth)
+
+        def run_win(o, lo, hi, d):
+            return jax.lax.fori_loop(
+                lo, hi, lambda g, d_: body(g, slot, n_here, d_, o, WIN), d)
+
+        def run_full(lo, hi, d):
+            return jax.lax.fori_loop(
+                lo, hi,
+                lambda g, d_: body(g, slot, n_here, d_, 0, tile_h), d)
+
+        return _window_loops(nb, list(sub_starts[1:]), start + c * chunk,
+                             n_groups, run_win, run_full, depth)
 
     return jax.lax.fori_loop(0, n_chunks, chunk_body,
                              jnp.ones((tile_h, TILE_W), jnp.float32))
 
 
 def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
-                  *, tiles_x, chunk, inst_tiles=0):
+                  *, tiles_x, chunk, inst_tiles=0, nb=1):
     """Depth-only variant of _raster_kernel for shadow maps: no tri/bary/attr
     accumulators, no per-entry valid lane (binned entries are valid by
     construction) and no zp<=1 test (implied by zp <= depth, depth0 = 1) —
@@ -757,14 +993,15 @@ def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
     local = jax.lax.rem(i, inst_tiles) if inst_tiles else i
     ty = local // tiles_x
     tx = local % tiles_x
+    subs = [starts_ref[i * nb + k] for k in range(nb)]
     depth_ref[...] = _depth_tile_loop(
-        starts_ref[i], counts_ref[i], ty, tx, rows_hbm, scratch, sem, chunk,
-        TILE_H).reshape(depth_ref.shape)
+        subs, counts_ref[i], ty, tx, rows_hbm, scratch, sem, chunk,
+        TILE_H, nb).reshape(depth_ref.shape)
 
 
 def _depth_kernel_win(origin_ref, starts_ref, counts_ref, rows_hbm,
                       depth_ref, scratch, sem, *, tiles_x, chunk, win_tx,
-                      tile_h):
+                      tile_h, nb=1):
     """Windowed depth kernel: the grid covers only a win_ty x win_tx block
     of the full tile grid, whose origin (tile coords, traced) arrives via
     scalar prefetch. Pixel coordinates and entry windows are the FULL map's
@@ -774,9 +1011,11 @@ def _depth_kernel_win(origin_ref, starts_ref, counts_ref, rows_hbm,
     ty = origin_ref[0] + i // win_tx
     tx = origin_ref[1] + i % win_tx
     gid = ty * tiles_x + tx
+    subs = [starts_ref[gid * nb + k] for k in range(nb)]
     depth_ref[...] = _depth_tile_loop(
-        starts_ref[gid], counts_ref[gid], ty, tx, rows_hbm, scratch, sem,
-        chunk, tile_h).reshape(depth_ref.shape)
+        subs, counts_ref[gid], ty, tx, rows_hbm, scratch, sem, chunk,
+        tile_h, nb).reshape(depth_ref.shape)
+
 
 
 def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
@@ -801,7 +1040,8 @@ def _run_depth_kernel(sorted_rows, starts, counts, width, height, chunk):
         ],
     )
     depth, = pl.pallas_call(
-        partial(_depth_kernel, tiles_x=tiles_x, chunk=chunk),
+        partial(_depth_kernel, tiles_x=tiles_x, chunk=chunk,
+                nb=_n_cats(TILE_H)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32)],
         interpret=_interpret(),
@@ -832,7 +1072,7 @@ def _run_depth_kernel_win(sorted_rows, starts, counts, origin, tiles_x,
     )
     depth, = pl.pallas_call(
         partial(_depth_kernel_win, tiles_x=tiles_x, chunk=chunk,
-                win_tx=win_tw, tile_h=tile_h),
+                win_tx=win_tw, tile_h=tile_h, nb=_n_cats(tile_h)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((win_th * tile_h, win_tw * TILE_W),
                                         jnp.float32)],
@@ -858,7 +1098,7 @@ def _tile_ladder(full_tiles, fracs=(0.25, 0.5)):
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def rasterize_depth_tiled_window(clip, tris, width, height,
                                  cull=raster.CULL_BACK, e_max=9, chunk=256,
-                                 tile_h=8):
+                                 tile_h=8, cv=None):
     """Depth-only rasterization restricted to the casters' tile bounding
     box, pasted into a far-initialized (1.0) full map — bit-identical to
     rasterize_depth_tiled (the kernel evaluates full-map pixel coordinates;
@@ -879,8 +1119,9 @@ def rasterize_depth_tiled_window(clip, tris, width, height,
     triangle already spans >6 tiles); scenes with >64 such casters drop
     the excess, same cliff as the base path. Window extents come from a
     small static ladder (lax.switch); the origin is traced
-    (scalar-prefetched)."""
-    s = raster.setup(clip, tris, width, height, cull)
+    (scalar-prefetched). `cv` may pass pre-gathered per-corner clip coords
+    [T,3,4] shared with the main pass (see rasterize_attrs_tiled)."""
+    s = raster.setup(clip, tris, width, height, cull, cv=cv)
     rows = _setup_rows(s, jnp.arange(tris.shape[0], dtype=jnp.int32))
     sorted_rows, starts, counts, big = _bin(s, rows, width, height, e_max,
                                             chunk, tile_h)
@@ -1026,7 +1267,7 @@ def _run_kernel(sorted_rows, starts, counts, width, height, n_attrs, chunk):
     )
     depth, tri, b1, b2, attr = pl.pallas_call(
         partial(_raster_kernel, tiles_x=tiles_x, n_attrs=n_attrs,
-                chunk=chunk),
+                chunk=chunk, nb=_n_cats(TILE_H)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
@@ -1276,12 +1517,14 @@ def _crowd_compact_passes(s, rows, width, height, chunk, run_pass,
     n_inst, t = rows.shape[0], rows.shape[1]
     n = n_inst * t
 
-    tile, big = jax.vmap(
+    tile, cat, big = jax.vmap(
         lambda si: _expand_tiles(si, width, height, e_max))(s)  # [I,T,E]
+    nb = _n_cats(TILE_H)
     inst = jnp.arange(n_inst, dtype=jnp.int32)[:, None, None]
     gtile = jnp.where(tile < n_tiles, inst * n_tiles + tile,
                       n_inst * n_tiles)
     gt_flat = gtile.reshape(n, e_max)
+    cat_flat = cat.reshape(n, e_max)
     # slot 0 is real iff the triangle produced any entry at all
     valid_tri = gt_flat[:, 0] < n_inst * n_tiles
     n_valid = jnp.sum(valid_tri.astype(jnp.int32))
@@ -1304,29 +1547,32 @@ def _crowd_compact_passes(s, rows, width, height, chunk, run_pass,
     flat_rows = jnp.pad(flat_rows, ((0, 1), (0, lane_pad)))
     gt_pad = jnp.pad(gt_flat, ((0, 1), (0, 0)),
                      constant_values=n_inst * n_tiles)
+    cat_pad = jnp.pad(cat_flat, ((0, 1), (0, 0)))
 
     def make_pass(k):
         def run(_):
             ids = jax.lax.dynamic_slice(cids, (k * c_v,), (c_v,))
-            gt = gt_pad[ids]                                   # [C, E]
-            flat_tile = gt.reshape(-1)
+            g = jnp.concatenate([gt_pad, cat_pad], -1)[ids]    # [C, 2E]
+            flat_tile = g[:, :e_max].reshape(-1)
+            flat_cat = g[:, e_max:].reshape(-1)
             flat_gid = jnp.broadcast_to(ids[:, None],
                                         (c_v, e_max)).reshape(-1)
             # t = n + 1: the cids tail padding uses id n (the all-pad row),
             # so the packed key's value bits must cover it
             sorted_gid, start = _packed_sort(flat_tile, flat_gid, n + 1,
-                                             n_inst * n_tiles)
-            counts = (start[1:] - start[:-1]).astype(jnp.int32)
+                                             n_inst * n_tiles, flat_cat, nb)
+            counts = (start[nb::nb] - start[:-1:nb]).astype(jnp.int32)
             # pin pad entries' gather addresses into the first 256 rows
             # (see _bin): scattered dead addresses spread the row gather's
             # page footprint over the whole table
             eidx = jnp.arange(sorted_gid.shape[0], dtype=jnp.int32)
             spread = 256 if n >= 256 else 1
-            sorted_gid = jnp.where(eidx < start[n_inst * n_tiles],
+            sorted_gid = jnp.where(eidx < start[n_inst * n_tiles * nb],
                                    sorted_gid, eidx & (spread - 1))
             sorted_rows = flat_rows[jnp.pad(sorted_gid, (0, chunk),
                                             constant_values=n)]
-            return run_pass(sorted_rows, start[:n_inst * n_tiles], counts)
+            return run_pass(sorted_rows,
+                            start[:n_inst * n_tiles * nb + 1], counts)
         return run
 
     out = make_pass(0)(None)
@@ -1371,7 +1617,7 @@ def _run_kernel_multi(sorted_rows, starts, counts, n_inst, width, height,
     )
     depth, tri, b1, b2, attr = pl.pallas_call(
         partial(_raster_kernel, tiles_x=tiles_x, n_attrs=n_attrs,
-                chunk=chunk, inst_tiles=n_tiles),
+                chunk=chunk, inst_tiles=n_tiles, nb=_n_cats(TILE_H)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
@@ -1493,7 +1739,9 @@ def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
     def merge(a, b):
         d1, t1, b1, a1 = a
         d2, t2, b2, a2 = b
-        better = (t2 >= 0) & (d2 <= d1)   # later pass wins depth ties
+        # depth ties break by draw id (max id wins), matching the kernel's
+        # in-tile rule: later passes hold higher draw ids
+        better = (t2 >= 0) & ((d2 < d1) | ((d2 == d1) & (t2 > t1)))
         return (jnp.where(better, d2, d1),
                 jnp.where(better, t2, t1),
                 jnp.where(better[..., None], b2, b1),
@@ -1546,7 +1794,8 @@ def _run_kernel_ms_multi(sorted_rows, starts, counts, n_inst, width, height,
     )
     depth, tri, b1, b2, attr, sdepth = pl.pallas_call(
         partial(_raster_kernel_ms, tiles_x=tiles_x, n_attrs=n_attrs,
-                chunk=chunk, inst_tiles=n_tiles, unbias=unbias),
+                chunk=chunk, inst_tiles=n_tiles, unbias=unbias,
+                nb=_n_cats(TILE_H)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32),
@@ -1615,7 +1864,8 @@ def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
     def merge(a, b):
         d1, t1, b1, a1, sd1 = a
         d2, t2, b2, a2, sd2 = b
-        better = (t2 >= 0) & (d2 <= d1)
+        # depth ties break by draw id (see rasterize_attrs_tiled_crowd)
+        better = (t2 >= 0) & ((d2 < d1) | ((d2 == d1) & (t2 > t1)))
         return (jnp.where(better, d2, d1),
                 jnp.where(better, t2, t1),
                 jnp.where(better[..., None], b2, b1),
@@ -1663,7 +1913,7 @@ def _run_depth_kernel_multi(sorted_rows, starts, counts, n_inst, width,
     )
     depth, = pl.pallas_call(
         partial(_depth_kernel, tiles_x=tiles_x, chunk=chunk,
-                inst_tiles=n_tiles),
+                inst_tiles=n_tiles, nb=_n_cats(TILE_H)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_inst, pad_h, pad_w), jnp.float32)],
         interpret=_interpret(),

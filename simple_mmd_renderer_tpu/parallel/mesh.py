@@ -53,6 +53,15 @@ def crowd_init(scene: Scene, n: int, phase_frames: float = 7.0) -> SimState:
     return state.replace(time=times)
 
 
+_FALLBACK_NOTICED: set = set()
+
+
+def _pick_fallback_scan(cfg_r) -> bool:
+    from ..render.pipeline import _pick_raster
+    from ..render import raster
+    return _pick_raster(cfg_r, 10_000) is raster.rasterize
+
+
 def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
                   atlas_arg: bool = False):
     """Per-frame crowd function over the instance axis.
@@ -86,6 +95,29 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
                                         atlas=atlas)
             return state, images
         return step if atlas_arg else (lambda state: step(state))
+
+    # one-line notice (once per process+reason): the vmap fallback is
+    # 2-4x slower per instance at crowd viewports (scripts/
+    # profile_crowd_raster.py) — users should know which path they're on
+    import sys as _sys
+    cfg_r = scene.config.render
+    reasons = [r for r, on in (
+        ("mmd_shading", scene.mmd_maps is not None),
+        ("extended_morphs", uses_ext_morphs),
+        ("skybox", bool(cfg_r.show_skybox)),
+        ("show_edges", bool(cfg_r.show_edges)),
+        ("double_sided", bool(cfg_r.double_sided)),
+        ("msaa_supersample", bool(cfg_r.msaa >= 4 and cfg_r.msaa_supersample)),
+        ("vmd_camera", scene.camera is not None),
+        ("cubemap", scene.cubemap is not None),
+        ("scan_raster", _pick_fallback_scan(cfg_r)),
+    ) if on]
+    key = tuple(reasons)
+    if key not in _FALLBACK_NOTICED:
+        _FALLBACK_NOTICED.add(key)
+        print(f"# crowd: vmap(render_frame) fallback (fused path excluded "
+              f"by: {', '.join(reasons) or 'unknown config'})",
+              file=_sys.stderr)
 
     # vmap fallback: disable prefix-compacted binning AND bbox-windowed
     # albedo — both select their static-size branch with lax.switch on a
@@ -151,10 +183,13 @@ def frame_jit(scene: Scene, mesh: Mesh, width=None, height=None,
     The reference has no counterpart (single GPU); this is the TPU-native
     answer to \"render one heavy scene faster than one chip\".
 
-    The ground shadow lookup runs at shadow_lookup_downsample=1 (the exact
-    per-pixel form): the downsampled fast path bilinear-upsamples a lo-res
-    lit map, which is band-LOCAL here — its boundary rows would seam at
-    band edges."""
+    The downsampled ground-shadow fast path is band-safe since r5: its
+    lo-res lit map carries one GEOMETRIC halo row per edge (ground_pass
+    row0/rows), so each band's upsample blends the neighbor band's true
+    edge rows — banded output equals the single-device fast path. Bands
+    whose height the downsample factor doesn't divide fall back to the
+    exact per-pixel lookup (documented divergence from the single-device
+    fast path, which keys off the FULL height)."""
     import dataclasses
 
     n = int(mesh.devices.size)
@@ -162,9 +197,11 @@ def frame_jit(scene: Scene, mesh: Mesh, width=None, height=None,
     H = height or scene.config.render.height
     assert H % n == 0, f"height {H} must split over {n} devices"
     atlas = scene.packed_atlas()
-    scene = dataclasses.replace(scene, config=dataclasses.replace(
-        scene.config, render=dataclasses.replace(
-            scene.config.render, shadow_lookup_downsample=1)))
+    ds = max(int(scene.config.render.shadow_lookup_downsample), 1)
+    if ds > 1 and ((H // n) % ds or W % ds):
+        scene = dataclasses.replace(scene, config=dataclasses.replace(
+            scene.config, render=dataclasses.replace(
+                scene.config.render, shadow_lookup_downsample=1)))
 
     # the packed atlas rides jit as an ARGUMENT (replicated), not a
     # closed-over constant — see Scene.packed_atlas (HTTP 413 on large

@@ -103,10 +103,19 @@ def unproject_depth(depth, vp, width, height):
     return jnp.stack([row(0) / pw, row(1) / pw, row(2) / pw], -1)
 
 
-def ground_pass(cfg: RenderConfig, view, proj, width, height):
+def ground_pass(cfg: RenderConfig, view, proj, width, height, row0=0,
+                rows=None):
     """Analytic ray/plane ground raster: exactly the 50 m y=0 quad, but immune
     to near-plane clipping (the quad always crosses the near plane, which a
-    guard-band triangle raster would drop). -> (mask, world_pos, ndc_depth)."""
+    guard-band triangle raster would drop). -> (mask, world_pos, ndc_depth).
+
+    `row0`/`rows` evaluate a row RANGE [row0, row0+rows) of the height-pixel
+    grid (row0 may be negative): the downsampled shadow-lookup path renders
+    one geometric halo row beyond each edge so its bilinear upsample blends
+    true neighbor values — which makes a row-banded frame (parallel.mesh.
+    frame_jit) seamless, because each band's halo rows ARE the neighbor
+    band's edge rows."""
+    rows = height if rows is None else rows
     eye = jnp.asarray(cfg.camera_pos, jnp.float32)
     vp = proj @ view
     inv = jnp.linalg.inv(vp)
@@ -114,7 +123,7 @@ def ground_pass(cfg: RenderConfig, view, proj, width, height):
     # matmul relayouts and moves 32x the bytes on TPU)
     xs = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0
           - 1.0)[None, :]
-    ys = (1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    ys = (1.0 - (jnp.arange(rows, dtype=jnp.float32) + row0 + 0.5) / height
           * 2.0)[:, None]
 
     def row(i):  # inv @ (x, y, 0.5, 1)
@@ -141,7 +150,7 @@ def ground_pass(cfg: RenderConfig, view, proj, width, height):
     return mask, hit, jnp.where(mask, depth, 1.0)
 
 
-def upsample_bilinear_int(img, f):
+def upsample_bilinear_int(img, f, pre_padded_rows=False):
     """[h,w,1] -> [f*h, f*w, 1] bilinear upsample with half-pixel centers —
     identical math to jax.image.resize(..., method="linear") for an integer
     factor, but as f static per-phase plane blends per axis (edge-padded
@@ -149,15 +158,24 @@ def upsample_bilinear_int(img, f):
     formulation. Measured NEUTRAL in-pipeline at 1080p (XLA already lowers
     the integer-factor resize well); kept because the plane form has no
     gathers to interact with the albedo window's gather-heavy neighborhood
-    and is exact by construction (parity test)."""
+    and is exact by construction (parity test).
+
+    `pre_padded_rows`: the input's first and last ROW are halo rows (true
+    neighbor values from a geometric halo, see ground_pass row0/rows) used
+    as the row-axis padding instead of edge replication; output rows =
+    f*(h-2). Columns always edge-pad."""
     import math as _math
     lo = img[..., 0]
 
     def axis_up(a, axis):
-        n = a.shape[axis]
-        pads = [(0, 0), (0, 0)]
-        pads[axis] = (1, 1)
-        p = jnp.pad(a, pads, mode="edge")
+        if axis == 0 and pre_padded_rows:
+            n = a.shape[0] - 2
+            p = a
+        else:
+            n = a.shape[axis]
+            pads = [(0, 0), (0, 0)]
+            pads[axis] = (1, 1)
+            p = jnp.pad(a, pads, mode="edge")
         outs = []
         for ph in range(f):
             o = (ph + 0.5) / f - 0.5
@@ -206,6 +224,8 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None,
         # depth-only kernel: ~half the per-entry ops of the full raster
         from ..ops.tiled_raster import (rasterize_depth_tiled,
                                         rasterize_depth_tiled_window)
+        cv = (raster.transform_clip(corner_pos, light_mvp)
+              if corner_pos is not None else None)
         if window and size >= 1024:
             # caster-bbox windowed raster (RenderConfig.shadow_window for
             # why this is OFF by default: measured neutral at 2048 — empty
@@ -213,9 +233,7 @@ def shadow_pass(verts_m, tris_flipped, light_mvp, size, raster_fn=None,
             return rasterize_depth_tiled_window(clip, tris_flipped, size,
                                                 size, raster.CULL_FRONT,
                                                 _tiled_e_max(size, size),
-                                                256, 32)
-        cv = (raster.transform_clip(corner_pos, light_mvp)
-              if corner_pos is not None else None)
+                                                256, 32, cv=cv)
         return rasterize_depth_tiled(clip, tris_flipped, size, size,
                                      raster.CULL_FRONT,
                                      _tiled_e_max(size, size), 256,
@@ -844,15 +862,20 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             cfg, mats["view"], mats["proj"], width, height)
         if cfg.shadows_enabled:
             ds = max(int(cfg.shadow_lookup_downsample), 1)
-            if ds > 1 and width % ds == 0 and height % ds == 0:
+            lo_res = ds > 1 and width % ds == 0 and height % ds == 0
+            if lo_res:
+                # geometric halo rows for the upsample (see render_frame)
                 lw, lh = width // ds, height // ds
                 _, gpos_l, _ = ground_pass(cfg, mats["view"], mats["proj"],
-                                           lw, lh)
+                                           lw, lh, row0=-1, rows=lh + 2)
+                lclip = raster.transform_clip(
+                    gpos_l.reshape(-1, 3), mats["light_vp"]).reshape(
+                        lh + 2, lw, 4)
             else:
                 lw, lh = width, height
-                gpos_l = gpos
-            lclip = raster.transform_clip(
-                gpos_l.reshape(-1, 3), mats["light_vp"]).reshape(lh, lw, 4)
+                lclip = raster.transform_clip(
+                    gpos.reshape(-1, 3), mats["light_vp"]).reshape(
+                        lh, lw, 4)
 
             # lit maps for ALL instances in one batched kernel launch
             # (the PCF Pallas kernel batches over its grid; vmapping it
@@ -861,12 +884,8 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
 
             def lit_one(lm):
                 lo = shade.ground_shadow_lookup(lclip, lm, jnp.asarray(True))
-                if (lh, lw) != (height, width):
-                    if height % lh == 0 and width // lw == height // lh:
-                        lo = upsample_bilinear_int(lo, height // lh)
-                    else:
-                        lo = jax.image.resize(lo, (height, width, 1),
-                                              "linear")
+                if lo_res:
+                    lo = upsample_bilinear_int(lo, ds, pre_padded_rows=True)
                 return lo
 
             lit = jax.vmap(lit_one)(lms)                      # [I,H,W,1]
@@ -1048,15 +1067,20 @@ def render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                 lit_map = shade.ground_lit_map(shadow_map, mats["light_vp"])
                 ds = max(int(cfg.shadow_lookup_downsample), 1)
                 if ds > 1 and width % ds == 0 and height % ds == 0:
+                    # one GEOMETRIC halo row beyond each edge (row0=-1,
+                    # rows=lh+2): the upsample blends true neighbor values,
+                    # so a row-banded frame (frame_jit) is seamless — each
+                    # band's halo rows are the neighbor band's edge rows
                     lw, lh = width // ds, height // ds
                     _, gpos_lo, _ = ground_pass(cfg, mats["view"], mats["proj"],
-                                                lw, lh)
+                                                lw, lh, row0=-1, rows=lh + 2)
                     lclip = raster.transform_clip(
                         gpos_lo.reshape(-1, 3), mats["light_vp"]).reshape(
-                            lh, lw, 4)
+                            lh + 2, lw, 4)
                     lit_lo = shade.ground_shadow_lookup(lclip, lit_map,
                                                         jnp.asarray(True))
-                    lit = upsample_bilinear_int(lit_lo, ds)
+                    lit = upsample_bilinear_int(lit_lo, ds,
+                                                pre_padded_rows=True)
                 else:
                     lclip = raster.transform_clip(
                         gpos.reshape(-1, 3), mats["light_vp"]).reshape(

@@ -180,13 +180,14 @@ def test_band_transform_partitions_ndc():
 
 
 def _assert_banded_matches_full(scene, mesh, n_dev, atol_frac=2e-3):
-    # frame_jit runs the exact (non-downsampled) ground shadow lookup —
-    # the lo-res lit-map upsample is band-local and would seam; compare
-    # against the single-device frame in the same exact mode
-    import dataclasses
-    scene.config.render = dataclasses.replace(
-        scene.config.render, shadow_lookup_downsample=1)
+    # the banded frame must match the single-device frame INCLUDING the
+    # downsampled lit-map fast path (default shadow_lookup_downsample=4):
+    # each band's lo-res lit map carries geometric halo rows, so the
+    # upsample blends the neighbor band's true edge rows (r4 VERDICT
+    # weak #3 — frame_jit used to force the exact path to avoid seams)
     W, H = scene.config.render.width, scene.config.render.height
+    ds = scene.config.render.shadow_lookup_downsample
+    assert (H // n_dev) % ds == 0, "test config must keep the fast path"
     step_full = scene.jit_step(render=True, donate=False)
     state_f, full = step_full(scene.init_state())
     step_band = par.frame_jit(scene, mesh, width=W, height=H)
