@@ -233,6 +233,11 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, metavar="PATH",
                     help="restore the sim state saved by --save-state and "
                          "continue from it")
+    ap.add_argument("--warm", action="store_true",
+                    help="compile the configured pipeline (populating the "
+                         "persistent .jax_cache), render one frame, and "
+                         "exit — later processes with the same flags start "
+                         "in seconds instead of minutes")
     args = ap.parse_args(argv)
 
     import jax
@@ -368,6 +373,12 @@ def main(argv=None):
     finally:
         done.set()
     print(f"first frame (compile): {time.time() - t0:.1f}s")
+    if args.warm:
+        # executables above the 1 s compile threshold are now in the
+        # persistent cache (utils/cache.py) keyed by config+backend;
+        # a repeat process with these flags skips the device compile
+        print("cache warmed; exiting (--warm)")
+        return 0
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

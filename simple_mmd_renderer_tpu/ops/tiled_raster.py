@@ -378,37 +378,28 @@ def _bin_prefix(s, rows, width, height, e_max, chunk, run, tile_h=None):
 # every plane is evaluated as one [GROUP, rows, TILE_W] vector op
 GROUP = 8
 
-# static row-window height: a tile's entries arrive sorted by window
-# category (_expand_tiles), so the kernel evaluates each category's groups
-# on a STATIC [o, o+WIN) row slice of the tile — most MMD triangles span a
-# few pixels, and halving the evaluated rows halves the per-entry vector
-# work. Category boundaries ride the sub-starts array; groups straddling a
-# boundary are simply (re)evaluated in a wider loop — exact, because the
-# z-tie rule is order-independent and re-processing an entry is a no-op.
-WIN = 16
+# static row-window height (multiple of 8): a tile's entries arrive sorted
+# by window category (_expand_tiles), so the kernel evaluates each
+# category's groups on a STATIC [o, o+WIN) row window of the tile — most
+# MMD triangles span a few pixels, and halving the evaluated rows halves
+# the per-entry vector work. Category boundaries ride the sub-starts array;
+# groups straddling a boundary are simply (re)evaluated in a wider loop —
+# exact, because the z-tie rule is order-independent and re-processing an
+# entry is a no-op. Overridable for experiments (8 = finest windows, more
+# categories; 16 = default balance).
+WIN = int(os.environ.get("SMR_WIN", "16"))
 
-# row-window categories are EXPERIMENTAL: exact and tested on CPU
-# (interpret), but the current libtpu Mosaic crashes applying vector
-# layouts to the windowed bodies (xla::Array::Slice check in
-# vector_extract_strided_slice_rule) — see scripts/probe_band_kernel.py.
-# Default OFF: _n_cats() == 1 reproduces the r4 kernel structure (single
-# full-tile loop, leading-dim entry indexing) bit-for-bit.
+# Row-window categories: when ON, every kernel carry is held as a tuple of
+# (8, TILE_W) STRIPS and each entry group evaluates only the strips its
+# category window covers — most MMD triangles span a few rows, so this cuts
+# the per-entry vector work roughly in half. The strip form exists because
+# this libtpu's Mosaic crashes on the natural formulations (static row
+# slices of a (32,128) carry and leading-dim indexing of (G,wh,TW) values
+# both die in vector_extract_strided_slice_rule / xla::Array::Slice); strips
+# use only native-(8,128)-shaped values, per-vreg selects, and one final
+# concatenate. Default OFF until measured faster: _n_cats() == 1 reproduces
+# the r4 kernel structure (single full-tile loop) bit-for-bit.
 RASTER_WINDOWS = os.environ.get("MMD_RASTER_WINDOWS", "0") == "1"
-
-
-def _splice(full, part, o):
-    """Replace rows [o, o+len(part)) of `full` (static o) — register-level
-    on TPU: static row slices of a value are vreg selections."""
-    wh = part.shape[0]
-    if wh == full.shape[0]:
-        return part
-    parts = []
-    if o:
-        parts.append(full[:o])
-    parts.append(part)
-    if o + wh < full.shape[0]:
-        parts.append(full[o + wh:])
-    return jnp.concatenate(parts, 0)
 
 
 def _window_loops(nb, bounds, cstart, n_groups, run_win, run_full, carry):
@@ -464,23 +455,22 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         chunk_dma(0, 0).start()
 
     def body(g, slot, limit, carry, o, wh):
-        """One GROUP of entries on the STATIC row window [o, o+wh): plane
-        math vectorized over the group axis ([G,wh,TW] tensors, no
+        """One GROUP of entries, full tile (the r4 form, nb == 1): plane
+        math vectorized over the group axis ([G,TILE_H,TW] tensors, no
         per-entry scalar extracts), then the per-entry depth/attr selects
-        statically unrolled against window slices of the carries. The
-        trailing group is masked to `limit` entries: over-read rows may
-        belong to a DIFFERENT instance in the fused crowd grid (whose
-        coverage is unrelated to this tile) — within one instance they
-        would be later tiles' entries or valid=0 pad rows, but the mask
-        makes all cases safe."""
+        statically unrolled. The trailing group is masked to `limit`
+        entries: over-read rows may belong to a DIFFERENT instance in the
+        fused crowd grid (whose coverage is unrelated to this tile) —
+        within one instance they would be later tiles' entries or valid=0
+        pad rows, but the mask makes all cases safe."""
         depth, tri, b1v, b2v, num, den = carry
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]      # [G, W]
 
         def col(c):
             return rg[:, c][:, None, None]                  # [G,1,1]
 
-        dx = xs_f[o:o + wh][None] - col(0)                  # [G,wh,TW]
-        dy = ys_f[o:o + wh][None] - col(1)
+        dx = xs_f[None] - col(0)                            # [G,TH,TW]
+        dy = ys_f[None] - col(1)
 
         def plane(base):
             return col(base) + col(base + 1) * dx + col(base + 2) * dy
@@ -499,72 +489,116 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
         tid = rg[:, 10]                                     # [G]
 
-        # full-tile body (the default, and the only one when nb == 1):
-        # committed r4 form — leading-dim entry indexing, no carry slices.
-        # Windowed body (experimental, see RASTER_WINDOWS): per-entry plane
-        # tensors flattened to [G*wh, TW] and sliced STATICALLY on the
-        # sublane axis — leading-dim indexing of a [G,wh,TW] value crashes
-        # this Mosaic version's layout inference (xla::Array::Slice check).
-        full_body = o == 0 and wh == depth.shape[0]
-        if full_body:
-            flat = lambda x: x
-            ent = lambda x3, g_i: x3[g_i]
-            sl = lambda x: x
-        else:
-            flat = lambda x: x.reshape(GROUP * wh, TILE_W)
-            ent = lambda x2, g_i: x2[g_i * wh:(g_i + 1) * wh]
-            sl = lambda x: x[o:o + wh]
-        zm2, w12, w22 = flat(zm), flat(w1), flat(w2)
-        if n_attrs:
-            den2 = flat(den_p)
-            num2 = [flat(x) for x in num_p]
-
-        # carries sliced to the window (STATIC slices: vreg selections)
-        d = sl(depth)
-        tr = sl(tri)
-        b1s = sl(b1v)
-        b2s = sl(b2v)
-        if n_attrs:
-            dn = sl(den)
-            nm = [sl(x) for x in num]
-
-        # attribute accumulators are a TUPLE of [wh,TW] planes, not one
-        # stacked [na,wh,TW] tensor: re-stacking inside the unrolled entry
+        # attribute accumulators are a TUPLE of [TH,TW] planes, not one
+        # stacked [na,TH,TW] tensor: re-stacking inside the unrolled entry
         # loop forced a relayout per select in Mosaic and roughly doubled
         # the per-channel cost (measured 4 ms for +2 UV channels at any
         # resolution before this change)
         for g_i in range(GROUP):                            # static unroll
-            zg = ent(zm2, g_i)
+            zg = zm[g_i]
             tid_i = tid[g_i].astype(jnp.int32)
             # z-ties break by draw id (max id wins — exactly the scan
             # raster's later-draw-wins rule): entry ORDER never matters, so
             # category sorting and boundary re-processing stay exact
-            passed = (zg < d) | ((zg == d) & (tid_i > tr))
-            d = jnp.where(passed, zg, d)
-            tr = jnp.where(passed, tid_i, tr)
-            b1s = jnp.where(passed, ent(w12, g_i), b1s)
-            b2s = jnp.where(passed, ent(w22, g_i), b2s)
+            passed = (zg < depth) | ((zg == depth) & (tid_i > tri))
+            depth = jnp.where(passed, zg, depth)
+            tri = jnp.where(passed, tid_i, tri)
+            b1v = jnp.where(passed, w1[g_i], b1v)
+            b2v = jnp.where(passed, w2[g_i], b2v)
             if n_attrs:
-                dn = jnp.where(passed, ent(den2, g_i), dn)
-                nm = [jnp.where(passed, ent(num2[a], g_i), nm[a])
-                      for a in range(n_attrs)]
-        depth = _splice(depth, d, o)
-        tri = _splice(tri, tr, o)
-        b1v = _splice(b1v, b1s, o)
-        b2v = _splice(b2v, b2s, o)
-        if n_attrs:
-            den = _splice(den, dn, o)
-            num = tuple(_splice(num[a], nm[a], o) for a in range(n_attrs))
+                den = jnp.where(passed, den_p[g_i], den)
+                num = tuple(jnp.where(passed, num_p[a][g_i], num[a])
+                            for a in range(n_attrs))
         return depth, tri, b1v, b2v, num, den
 
+    def body_strips(g, slot, limit, carry, o, wh):
+        """One GROUP of entries on the STATIC row window [o, o+wh), carries
+        held as TILE_H//8 strips of (8, TW) per quantity (nb > 1, see
+        RASTER_WINDOWS): each covered strip is evaluated as a [G,8,TW]
+        tensor whose row offset folds into the per-entry anchor (one
+        [G,1,1] subtract per strip), and the per-entry selects touch only
+        the covered strips — no strided carry slices, no splices."""
+        depth, tri, b1v, b2v, num, den = carry
+        depth, tri = list(depth), list(tri)
+        b1v, b2v, den = list(b1v), list(b2v), list(den)
+        num = [list(ch) for ch in num]
+        rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]      # [G, W]
+
+        def col(c):
+            return rg[:, c][:, None, None]                  # [G,1,1]
+
+        tid = rg[:, 10]                                     # [G]
+        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+                < limit - g * GROUP)
+        dx = xs8[None] - col(0)                             # [G,8,TW]
+        for s in range(wh // 8):
+            si = o // 8 + s
+            dy = ys8[None] - (col(1) - float(si * 8))
+
+            def plane(base):
+                return col(base) + col(base + 1) * dx + col(base + 2) * dy
+
+            w1 = col(2) * dx + col(3) * dy
+            w2 = col(4) * dx + col(5) * dy
+            zp = plane(6)
+            valid = col(9) > 0.0
+            cover = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0) & valid
+            ok = cover & (zp >= 0.0) & (zp <= 1.0)
+            zm = jnp.where(ok & in_r, zp, 2.0)
+            if n_attrs:
+                den_p = plane(BASE_WIDTH)
+                num_p = [plane(BASE_WIDTH + 3 + 3 * a)
+                         for a in range(n_attrs)]
+            d, tr = depth[si], tri[si]
+            b1s, b2s = b1v[si], b2v[si]
+            if n_attrs:
+                dn = den[si]
+                nm = [num[a][si] for a in range(n_attrs)]
+            for g_i in range(GROUP):                        # static unroll
+                zg = zm[g_i]
+                tid_i = tid[g_i].astype(jnp.int32)
+                passed = (zg < d) | ((zg == d) & (tid_i > tr))
+                d = jnp.where(passed, zg, d)
+                tr = jnp.where(passed, tid_i, tr)
+                b1s = jnp.where(passed, w1[g_i], b1s)
+                b2s = jnp.where(passed, w2[g_i], b2s)
+                if n_attrs:
+                    dn = jnp.where(passed, den_p[g_i], dn)
+                    nm = [jnp.where(passed, num_p[a][g_i], nm[a])
+                          for a in range(n_attrs)]
+            depth[si], tri[si] = d, tr
+            b1v[si], b2v[si] = b1s, b2s
+            if n_attrs:
+                den[si] = dn
+                for a in range(n_attrs):
+                    num[a][si] = nm[a]
+        return (tuple(depth), tuple(tri), tuple(b1v), tuple(b2v),
+                tuple(tuple(ch) for ch in num), tuple(den))
+
     na = max(n_attrs, 1)
-    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
-            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-            jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                  for _ in range(na)),
-            jnp.ones((TILE_H, TILE_W), jnp.float32))
+    if nb == 1:
+        init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
+                jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                      for _ in range(na)),
+                jnp.ones((TILE_H, TILE_W), jnp.float32))
+    else:
+        ns = TILE_H // 8
+        xs8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(
+            jnp.float32) + (x0 + 0.5)
+        ys8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(
+            jnp.float32) + (y0 + 0.5)
+        one8 = jnp.ones((8, TILE_W), jnp.float32)
+        zero8 = jnp.zeros((8, TILE_W), jnp.float32)
+        init = (tuple(one8 for _ in range(ns)),
+                tuple(jnp.full((8, TILE_W), -1, jnp.int32)
+                      for _ in range(ns)),
+                tuple(zero8 for _ in range(ns)),
+                tuple(zero8 for _ in range(ns)),
+                tuple(tuple(zero8 for _ in range(ns)) for _ in range(na)),
+                tuple(one8 for _ in range(ns)))
 
     def chunk_body(c, carry):
         slot = jax.lax.rem(c, 2)
@@ -576,21 +610,30 @@ def _raster_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
+        bodyfn = body if nb == 1 else body_strips
 
         def run_win(o, lo, hi, cr):
             return jax.lax.fori_loop(
-                lo, hi, lambda g, c_: body(g, slot, n_here, c_, o, WIN), cr)
+                lo, hi, lambda g, c_: bodyfn(g, slot, n_here, c_, o, WIN),
+                cr)
 
         def run_full(lo, hi, cr):
             return jax.lax.fori_loop(
                 lo, hi,
-                lambda g, c_: body(g, slot, n_here, c_, 0, TILE_H), cr)
+                lambda g, c_: bodyfn(g, slot, n_here, c_, 0, TILE_H), cr)
 
         return _window_loops(nb, bounds, start + c * chunk, n_groups,
                              run_win, run_full, carry)
 
     depth, tri, b1v, b2v, num, den = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
+    if nb > 1:
+        depth = jnp.concatenate(depth, 0)
+        tri = jnp.concatenate(tri, 0)
+        b1v = jnp.concatenate(b1v, 0)
+        b2v = jnp.concatenate(b2v, 0)
+        den = jnp.concatenate(den, 0)
+        num = tuple(jnp.concatenate(ch, 0) for ch in num)
     depth_ref[...] = depth.reshape(depth_ref.shape)
     tri_ref[...] = tri.reshape(tri_ref.shape)
     b1_ref[...] = b1v.reshape(b1_ref.shape)
@@ -650,17 +693,17 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         chunk_dma(0, 0).start()
 
     def body(g, slot, limit, carry, o, wh):
-        """One GROUP of entries on the static window [o, o+wh), plane math
-        vectorized over the group axis (see _raster_kernel.body for the
-        tail-mask and window rationale)."""
+        """One GROUP of entries, full tile (the r4 form, nb == 1), plane
+        math vectorized over the group axis (see _raster_kernel.body for
+        the tail-mask rationale)."""
         depth, tri, b1v, b2v, num, den, sdepth = carry
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
 
         def col(c):
             return rg[:, c][:, None, None]
 
-        dx = xs_f[o:o + wh][None] - col(0)
-        dy = ys_f[o:o + wh][None] - col(1)
+        dx = xs_f[None] - col(0)
+        dy = ys_f[None] - col(1)
 
         def plane(base):
             return col(base) + col(base + 1) * dx + col(base + 2) * dy
@@ -698,68 +741,132 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
             den_p = plane(BASE_WIDTH)
             num_p = [plane(BASE_WIDTH + 3 + 3 * a) for a in range(n_attrs)]
 
-        # full-tile body = committed r4 form; windowed body flattens to
-        # [G*wh, TW] + static row slices (see _raster_kernel.body)
-        full_body = o == 0 and wh == depth.shape[0]
-        if full_body:
-            flat = lambda x: x
-            ent = lambda x3, g_i: x3[g_i]
-            sl = lambda x: x
-        else:
-            flat = lambda x: x.reshape(GROUP * wh, TILE_W)
-            ent = lambda x2, g_i: x2[g_i * wh:(g_i + 1) * wh]
-            sl = lambda x: x[o:o + wh]
-        zb2, w12, w22 = flat(zb), flat(w1), flat(w2)
-        szm2 = [flat(z) for z in szm]
-        if n_attrs:
-            den2 = flat(den_p)
-            num2 = [flat(x) for x in num_p]
-
-        d = sl(depth)
-        tr = sl(tri)
-        b1s = sl(b1v)
-        b2s = sl(b2v)
-        sd = [sl(x) for x in sdepth]
-        if n_attrs:
-            dn = sl(den)
-            nm = [sl(x) for x in num]
-
         # per-channel tuple carries (see _raster_kernel.body: re-stacking
         # inside the unrolled loop costs a relayout per select)
         for g_i in range(GROUP):                     # static unroll
-            sd = [jnp.minimum(sd[s], ent(szm2[s], g_i)) for s in range(4)]
-            zg = ent(zb2, g_i)
+            sdepth = tuple(jnp.minimum(sdepth[s], szm[s][g_i])
+                           for s in range(4))
+            zg = zb[g_i]
             tid_i = tid[g_i].astype(jnp.int32)
             # z-ties break by draw id (max id wins), see _raster_kernel
-            passed = (zg < d) | ((zg == d) & (tid_i > tr))
-            d = jnp.where(passed, zg, d)
-            tr = jnp.where(passed, tid_i, tr)
-            b1s = jnp.where(passed, ent(w12, g_i), b1s)
-            b2s = jnp.where(passed, ent(w22, g_i), b2s)
+            passed = (zg < depth) | ((zg == depth) & (tid_i > tri))
+            depth = jnp.where(passed, zg, depth)
+            tri = jnp.where(passed, tid_i, tri)
+            b1v = jnp.where(passed, w1[g_i], b1v)
+            b2v = jnp.where(passed, w2[g_i], b2v)
             if n_attrs:
-                dn = jnp.where(passed, ent(den2, g_i), dn)
-                nm = [jnp.where(passed, ent(num2[a], g_i), nm[a])
-                      for a in range(n_attrs)]
-        depth = _splice(depth, d, o)
-        tri = _splice(tri, tr, o)
-        b1v = _splice(b1v, b1s, o)
-        b2v = _splice(b2v, b2s, o)
-        sdepth = tuple(_splice(sdepth[s], sd[s], o) for s in range(4))
-        if n_attrs:
-            den = _splice(den, dn, o)
-            num = tuple(_splice(num[a], nm[a], o) for a in range(n_attrs))
+                den = jnp.where(passed, den_p[g_i], den)
+                num = tuple(jnp.where(passed, num_p[a][g_i], num[a])
+                            for a in range(n_attrs))
         return depth, tri, b1v, b2v, num, den, sdepth
 
+    def body_strips(g, slot, limit, carry, o, wh):
+        """One GROUP of entries on the static window [o, o+wh), strip
+        carries (nb > 1, see _raster_kernel.body_strips)."""
+        depth, tri, b1v, b2v, num, den, sdepth = carry
+        depth, tri = list(depth), list(tri)
+        b1v, b2v, den = list(b1v), list(b2v), list(den)
+        num = [list(ch) for ch in num]
+        sdepth = [list(ch) for ch in sdepth]
+        rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
+
+        def col(c):
+            return rg[:, c][:, None, None]
+
+        tid = rg[:, 10]
+        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+                < limit - g * GROUP)
+        dx = xs8[None] - col(0)
+        for st in range(wh // 8):
+            si = o // 8 + st
+            dy = ys8[None] - (col(1) - float(si * 8))
+
+            def plane(base):
+                return col(base) + col(base + 1) * dx + col(base + 2) * dy
+
+            w1 = col(2) * dx + col(3) * dy
+            w2 = col(4) * dx + col(5) * dy
+            zp = plane(6)
+            valid = col(9) > 0.0
+
+            szm = []
+            cover_any = None
+            for s, (ox, oy) in enumerate(MSAA4_OFFSETS):
+                w1s = w1 + (col(2) * ox + col(3) * oy)
+                w2s = w2 + (col(4) * ox + col(5) * oy)
+                zs = zp + (col(7) * ox + col(8) * oy)
+                cover_s = ((w1s >= 0) & (w2s >= 0) & (w1s + w2s <= 1.0)
+                           & valid)
+                cover_any = (cover_s if cover_any is None
+                             else (cover_any | cover_s))
+                szm.append(jnp.where(cover_s & (zs >= 0.0) & in_r, zs, 2.0))
+
+            cover_c = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0)
+            zb = jnp.where(cover_any & in_r & (zp >= 0.0) & (zp <= 1.0),
+                           zp + jnp.where(cover_c, 0.0, 2.0), 4.0)
+            if n_attrs:
+                den_p = plane(BASE_WIDTH)
+                num_p = [plane(BASE_WIDTH + 3 + 3 * a)
+                         for a in range(n_attrs)]
+            d, tr = depth[si], tri[si]
+            b1s, b2s = b1v[si], b2v[si]
+            sd = [sdepth[s][si] for s in range(4)]
+            if n_attrs:
+                dn = den[si]
+                nm = [num[a][si] for a in range(n_attrs)]
+            for g_i in range(GROUP):                 # static unroll
+                sd = [jnp.minimum(sd[s], szm[s][g_i]) for s in range(4)]
+                zg = zb[g_i]
+                tid_i = tid[g_i].astype(jnp.int32)
+                passed = (zg < d) | ((zg == d) & (tid_i > tr))
+                d = jnp.where(passed, zg, d)
+                tr = jnp.where(passed, tid_i, tr)
+                b1s = jnp.where(passed, w1[g_i], b1s)
+                b2s = jnp.where(passed, w2[g_i], b2s)
+                if n_attrs:
+                    dn = jnp.where(passed, den_p[g_i], dn)
+                    nm = [jnp.where(passed, num_p[a][g_i], nm[a])
+                          for a in range(n_attrs)]
+            depth[si], tri[si] = d, tr
+            b1v[si], b2v[si] = b1s, b2s
+            for s in range(4):
+                sdepth[s][si] = sd[s]
+            if n_attrs:
+                den[si] = dn
+                for a in range(n_attrs):
+                    num[a][si] = nm[a]
+        return (tuple(depth), tuple(tri), tuple(b1v), tuple(b2v),
+                tuple(tuple(ch) for ch in num), tuple(den),
+                tuple(tuple(ch) for ch in sdepth))
+
     na = max(n_attrs, 1)
-    init = (jnp.full((TILE_H, TILE_W), 3.0, jnp.float32),  # biased clear
-            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-            jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                  for _ in range(na)),
-            jnp.ones((TILE_H, TILE_W), jnp.float32),
-            tuple(jnp.ones((TILE_H, TILE_W), jnp.float32)
-                  for _ in range(4)))
+    if nb == 1:
+        init = (jnp.full((TILE_H, TILE_W), 3.0, jnp.float32),  # biased clear
+                jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                      for _ in range(na)),
+                jnp.ones((TILE_H, TILE_W), jnp.float32),
+                tuple(jnp.ones((TILE_H, TILE_W), jnp.float32)
+                      for _ in range(4)))
+    else:
+        ns = TILE_H // 8
+        xs8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(
+            jnp.float32) + (x0 + 0.5)
+        ys8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(
+            jnp.float32) + (y0 + 0.5)
+        one8 = jnp.ones((8, TILE_W), jnp.float32)
+        zero8 = jnp.zeros((8, TILE_W), jnp.float32)
+        init = (tuple(jnp.full((8, TILE_W), 3.0, jnp.float32)
+                      for _ in range(ns)),
+                tuple(jnp.full((8, TILE_W), -1, jnp.int32)
+                      for _ in range(ns)),
+                tuple(zero8 for _ in range(ns)),
+                tuple(zero8 for _ in range(ns)),
+                tuple(tuple(zero8 for _ in range(ns)) for _ in range(na)),
+                tuple(one8 for _ in range(ns)),
+                tuple(tuple(one8 for _ in range(ns)) for _ in range(4)))
 
     def chunk_body(c, carry):
         slot = jax.lax.rem(c, 2)
@@ -771,21 +878,31 @@ def _raster_kernel_ms(starts_ref, counts_ref, rows_hbm, depth_ref, tri_ref,
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
+        bodyfn = body if nb == 1 else body_strips
 
         def run_win(o, lo, hi, cr):
             return jax.lax.fori_loop(
-                lo, hi, lambda g, c_: body(g, slot, n_here, c_, o, WIN), cr)
+                lo, hi, lambda g, c_: bodyfn(g, slot, n_here, c_, o, WIN),
+                cr)
 
         def run_full(lo, hi, cr):
             return jax.lax.fori_loop(
                 lo, hi,
-                lambda g, c_: body(g, slot, n_here, c_, 0, TILE_H), cr)
+                lambda g, c_: bodyfn(g, slot, n_here, c_, 0, TILE_H), cr)
 
         return _window_loops(nb, bounds, start + c * chunk, n_groups,
                              run_win, run_full, carry)
 
     depth, tri, b1v, b2v, num, den, sdepth = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
+    if nb > 1:
+        depth = jnp.concatenate(depth, 0)
+        tri = jnp.concatenate(tri, 0)
+        b1v = jnp.concatenate(b1v, 0)
+        b2v = jnp.concatenate(b2v, 0)
+        den = jnp.concatenate(den, 0)
+        num = tuple(jnp.concatenate(ch, 0) for ch in num)
+        sdepth = tuple(jnp.concatenate(ch, 0) for ch in sdepth)
     if unbias:
         # un-bias: empty stays far (1.0); edge winners drop the +2
         depth = jnp.where(tri < 0, 1.0,
@@ -924,17 +1041,18 @@ def _depth_tile_loop(sub_starts, count, ty, tx, rows_hbm, scratch, sem,
         chunk_dma(0, 0).start()
 
     def body(g, slot, limit, depth, o, wh):
-        # one GROUP of entries vectorized over the group axis; the min over
-        # the group needs no winner tracking (depth only). The tail mask
-        # covers over-read rows (other instances' entries in the fused
-        # crowd grid, or valid=0 pad rows).
+        # one GROUP of entries, full tile (the r4 form, nb == 1),
+        # vectorized over the group axis; the min over the group needs no
+        # winner tracking (depth only). The tail mask covers over-read rows
+        # (other instances' entries in the fused crowd grid, or valid=0
+        # pad rows).
         rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
 
         def col(c):
             return rg[:, c][:, None, None]
 
-        dx = xs_f[o:o + wh][None] - col(0)
-        dy = ys_f[o:o + wh][None] - col(1)
+        dx = xs_f[None] - col(0)
+        dy = ys_f[None] - col(1)
         w1 = col(2) * dx + col(3) * dy
         w2 = col(4) * dx + col(5) * dy
         zp = col(6) + col(7) * dx + col(8) * dy
@@ -943,17 +1061,46 @@ def _depth_tile_loop(sub_starts, count, ty, tx, rows_hbm, scratch, sem,
         in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
                 < limit - g * GROUP)
         zm = jnp.where(ok & in_r, zp, 2.0)
-        if o == 0 and wh == depth.shape[0]:   # committed r4 form
-            for g_i in range(GROUP):
-                depth = jnp.minimum(depth, zm[g_i])
-            return depth
-        # windowed body: [G*wh, TW] + static row slices (experimental,
-        # see _raster_kernel.body and RASTER_WINDOWS)
-        zm2 = zm.reshape(GROUP * wh, TILE_W)
-        d = depth[o:o + wh]
         for g_i in range(GROUP):
-            d = jnp.minimum(d, zm2[g_i * wh:(g_i + 1) * wh])
-        return _splice(depth, d, o)
+            depth = jnp.minimum(depth, zm[g_i])
+        return depth
+
+    def body_strips(g, slot, limit, depth, o, wh):
+        # windowed body, strip carries (nb > 1): see
+        # _raster_kernel.body_strips
+        depth = list(depth)
+        rg = scratch[slot, pl.ds(g * GROUP, GROUP), :]
+
+        def col(c):
+            return rg[:, c][:, None, None]
+
+        in_r = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0)
+                < limit - g * GROUP)
+        dx = xs8[None] - col(0)
+        for st in range(wh // 8):
+            si = o // 8 + st
+            dy = ys8[None] - (col(1) - float(si * 8))
+            w1 = col(2) * dx + col(3) * dy
+            w2 = col(4) * dx + col(5) * dy
+            zp = col(6) + col(7) * dx + col(8) * dy
+            ok = ((w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1.0) & (col(9) > 0.0)
+                  & (zp >= 0.0))
+            zm = jnp.where(ok & in_r, zp, 2.0)
+            d = depth[si]
+            for g_i in range(GROUP):
+                d = jnp.minimum(d, zm[g_i])
+            depth[si] = d
+        return tuple(depth)
+
+    if nb == 1:
+        init = jnp.ones((tile_h, TILE_W), jnp.float32)
+    else:
+        xs8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(
+            jnp.float32) + (x0 + 0.5)
+        ys8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(
+            jnp.float32) + (y0 + 0.5)
+        init = tuple(jnp.ones((8, TILE_W), jnp.float32)
+                     for _ in range(tile_h // 8))
 
     def chunk_body(c, depth):
         slot = jax.lax.rem(c, 2)
@@ -965,21 +1112,23 @@ def _depth_tile_loop(sub_starts, count, ty, tx, rows_hbm, scratch, sem,
         chunk_dma(slot, c).wait()
         n_here = jnp.minimum(chunk, count - c * chunk)
         n_groups = (n_here + GROUP - 1) // GROUP
+        bodyfn = body if nb == 1 else body_strips
 
         def run_win(o, lo, hi, d):
             return jax.lax.fori_loop(
-                lo, hi, lambda g, d_: body(g, slot, n_here, d_, o, WIN), d)
+                lo, hi, lambda g, d_: bodyfn(g, slot, n_here, d_, o, WIN),
+                d)
 
         def run_full(lo, hi, d):
             return jax.lax.fori_loop(
                 lo, hi,
-                lambda g, d_: body(g, slot, n_here, d_, 0, tile_h), d)
+                lambda g, d_: bodyfn(g, slot, n_here, d_, 0, tile_h), d)
 
         return _window_loops(nb, list(sub_starts[1:]), start + c * chunk,
                              n_groups, run_win, run_full, depth)
 
-    return jax.lax.fori_loop(0, n_chunks, chunk_body,
-                             jnp.ones((tile_h, TILE_W), jnp.float32))
+    out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    return jnp.concatenate(out, 0) if nb > 1 else out
 
 
 def _depth_kernel(starts_ref, counts_ref, rows_hbm, depth_ref, scratch, sem,
