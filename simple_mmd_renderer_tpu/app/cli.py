@@ -233,6 +233,10 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, metavar="PATH",
                     help="restore the sim state saved by --save-state and "
                          "continue from it")
+    ap.add_argument("--pose", default=None, metavar="PATH",
+                    help="apply a .vpd pose file (held for the whole run; "
+                         "combined with a .vmd, it fills bones/morphs the "
+                         "motion does not key)")
     ap.add_argument("--warm", action="store_true",
                     help="compile the configured pipeline (populating the "
                          "persistent .jax_cache), render one frame, and "
@@ -278,6 +282,25 @@ def main(argv=None):
         model_dir = os.path.dirname(os.path.abspath(model_path))
         motion = vmd_mod.load_vmd(motion_path) if motion_path else None
         textures = True
+
+    pose_path = args.pose or next(
+        (p for p in args.paths if ".vpd" in p.lower()), None)
+    if pose_path:
+        from ..formats.vpd import load_vpd
+        vpd = load_vpd(pose_path)
+        if motion is None:
+            motion = vpd
+            print(f"holding pose from {pose_path} "
+                  f"({len(vpd.bone_tracks)} bones, "
+                  f"{len(vpd.morph_tracks)} morphs)")
+        else:
+            added = sum(
+                motion.bone_tracks.setdefault(n, t) is t
+                for n, t in vpd.bone_tracks.items()) + sum(
+                motion.morph_tracks.setdefault(n, t) is t
+                for n, t in vpd.morph_tracks.items())
+            print(f"pose {pose_path}: filled {added} tracks the motion "
+                  f"does not key")
 
     static = model_mod.build_model(pm)
     print(f"model '{static.name}': {len(static.positions)} verts, "
