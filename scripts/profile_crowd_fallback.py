@@ -1,6 +1,11 @@
-"""Measure fused-crowd vs vmap-fallback inst-fps for the configs that
-exclude the fused path (r4 VERDICT item 8): show_edges, double_sided,
-extended morphs, mmd_shading. Prints one line per config.
+"""Measure crowd inst-fps across feature configs (r4 VERDICT item 8).
+
+History: in r4, show_edges and double_sided excluded the fused path and fell
+back to vmap(render_frame) — measured 615 / 950 inst-fps vs the 1383 fused
+baseline (64 inst, textured + msaa=4, 256x144, TPU v5e). In r5 both were
+FUSED (edges: a second multi-instance raster over the displaced hull;
+double_sided: the shared nocull mask) — re-measured 844 / 1385: double-sided
+is free, edges cost one extra raster. Prints one line per config.
 
 Usage: python scripts/profile_crowd_fallback.py [n_inst] [frames]
 """
@@ -64,8 +69,8 @@ def main():
         return f
 
     run("fused (baseline)", {})
-    run("show_edges (vmap fallback)", {"show_edges": True})
-    run("double_sided (vmap fallback)", {"double_sided": True})
+    run("show_edges (fused since r5)", {"show_edges": True})
+    run("double_sided (fused since r5)", {"double_sided": True})
 
 
 if __name__ == "__main__":

@@ -1842,7 +1842,7 @@ def _merge_big_depth_crowd(depth, clip, tris, width, height, s, big):
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
                                 cull=raster.CULL_BACK, chunk=256,
-                                cv=None, va=None):
+                                cv=None, va=None, nocull=None):
     """Fused multi-instance raster + attribute interpolation.
 
     clip [I,V,4], tris [T,3] (shared topology), attrs [I,V,A] ->
@@ -1851,19 +1851,22 @@ def rasterize_attrs_tiled_crowd(clip, tris, attrs, width, height,
     capped scan fallback as the single-instance path. Per-pixel/per-entry
     semantics identical to rasterize_attrs_tiled. `cv` [I,T,3,4] /
     `va` [I,T,3,A] pass pre-gathered corner tables shared with the crowd
-    shadow pass (see crowd_render_frame)."""
+    shadow pass (see crowd_render_frame). `nocull` [T] (shared across
+    instances, like the topology) exempts those triangles from face
+    culling — double-sided materials."""
     if cv is None:
         def per_inst(clip_i, attrs_i):
             g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
             s = raster.setup(clip_i, tris, width, height, cull,
-                             cv=g[..., :4])
+                             cv=g[..., :4], nocull=nocull)
             s["va"] = g[..., 4:]
             return s
 
         s = jax.vmap(per_inst)(clip, attrs)
     else:
         def per_inst_cv(clip_i, cv_i, va_i):
-            s = raster.setup(clip_i, tris, width, height, cull, cv=cv_i)
+            s = raster.setup(clip_i, tris, width, height, cull, cv=cv_i,
+                             nocull=nocull)
             s["va"] = va_i
             return s
 
@@ -1966,17 +1969,18 @@ def _run_kernel_ms_multi(sorted_rows, starts, counts, n_inst, width, height,
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
                                      cull=raster.CULL_BACK, chunk=256,
-                                     cv=None, va=None):
+                                     cv=None, va=None, nocull=None):
     """Fused multi-instance 4x-MSAA raster: per-pixel center visibility +
     attributes plus per-sample depth [I, 4, H, W], semantics identical to
     rasterize_attrs_tiled_msaa per instance (bbox binning; big triangles
     merge with the center-approximated samples, like the single path).
-    `cv`/`va`: see rasterize_attrs_tiled_crowd."""
+    `cv`/`va`/`nocull`: see rasterize_attrs_tiled_crowd."""
     if cv is None:
         def per_inst(clip_i, attrs_i):
             g = jnp.concatenate([clip_i, attrs_i], -1)[tris]
             s = raster.setup(clip_i, tris, width, height, cull,
-                             cv=g[..., :4], sample_extent=0.375)
+                             cv=g[..., :4], sample_extent=0.375,
+                             nocull=nocull)
             s["va"] = g[..., 4:]
             return s
 
@@ -1984,7 +1988,7 @@ def rasterize_attrs_tiled_msaa_crowd(clip, tris, attrs, width, height,
     else:
         def per_inst_cv(clip_i, cv_i, va_i):
             s = raster.setup(clip_i, tris, width, height, cull, cv=cv_i,
-                             sample_extent=0.375)
+                             sample_extent=0.375, nocull=nocull)
             s["va"] = va_i
             return s
 

@@ -70,10 +70,10 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
     multi-instance raster (render.pipeline.crowd_render_frame): one binning
     sort and one kernel launch across all instances, instead of vmapping
     the single-instance pipeline (whose per-instance fixed costs dominate
-    at crowd viewport sizes). Textures and native 4x MSAA are fused; what
-    the fused path doesn't cover (skybox, VMD camera, edge outlines,
-    double-sided materials, extended morphs, MMD toon shading) falls back
-    to the vmap."""
+    at crowd viewport sizes). Textures, native 4x MSAA, edge outlines,
+    double-sided materials and the skybox are fused; what the fused path
+    doesn't cover (per-instance VMD camera, extended morphs, MMD toon
+    shading) falls back to the vmap."""
     if not render:
         return jax.vmap(scene.step_pose)
 
@@ -92,7 +92,7 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
             images = crowd_render_frame(scene.static, positions, normals,
                                         scene.config.render, width, height,
                                         part_textures=scene.part_textures,
-                                        atlas=atlas)
+                                        atlas=atlas, cubemap=scene.cubemap)
             return state, images
         return step if atlas_arg else (lambda state: step(state))
 
@@ -104,12 +104,8 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
     reasons = [r for r, on in (
         ("mmd_shading", scene.mmd_maps is not None),
         ("extended_morphs", uses_ext_morphs),
-        ("skybox", bool(cfg_r.show_skybox)),
-        ("show_edges", bool(cfg_r.show_edges)),
-        ("double_sided", bool(cfg_r.double_sided)),
         ("msaa_supersample", bool(cfg_r.msaa >= 4 and cfg_r.msaa_supersample)),
         ("vmd_camera", scene.camera is not None),
-        ("cubemap", scene.cubemap is not None),
         ("scan_raster", _pick_fallback_scan(cfg_r)),
     ) if on]
     key = tuple(reasons)

@@ -792,23 +792,23 @@ def crowd_render_supported(cfg: RenderConfig, part_textures=None,
                            cubemap=None, camera=None) -> bool:
     """True when the fused multi-instance render path covers the config:
     textures (shared atlas, incl. texture_mips level selection per
-    instance), native 4x MSAA, shadows and ground are all fused; skybox,
-    per-instance VMD camera, edge outlines, double-sided materials and the
+    instance), native 4x MSAA, edge outlines (a second fused raster over
+    the displaced hull), double-sided materials (shared nocull mask),
+    skybox (camera-shared — one cube-sample pass for all instances),
+    shadows and ground are all fused; per-instance VMD camera and the
     supersample-emulation MSAA fall back to vmap(render_frame), which
     supports them. `texture_resident` (a single-instance perf knob: the
     per-frame resident mip mini-atlas) is intentionally ignored on the
     crowd path — the fused path samples the mip atlas directly, which is
     exact; a per-instance mini-atlas would multiply the copy cost by I."""
-    return (cubemap is None and camera is None
-            and not cfg.show_skybox
-            and not cfg.show_edges and not cfg.double_sided
+    return (camera is None
             and not (cfg.msaa >= 4 and cfg.msaa_supersample)
             and _pick_raster(cfg, 10_000) is not raster.rasterize)
 
 
 def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                        width=None, height=None, part_textures=None,
-                       atlas=None):
+                       atlas=None, cubemap=None):
     """Fused multi-instance frame: positions/normals carry a leading
     instance axis; ONE binning sort and ONE kernel launch cover all
     instances' character and shadow rasters (ops/tiled_raster crowd path).
@@ -857,6 +857,11 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     # --- background + ground: camera-shared, computed once
     color1 = jnp.broadcast_to(jnp.asarray(cfg.clear_color, jnp.float32),
                               (height, width, 3))
+    if cfg.show_skybox and cubemap is not None:
+        # the skybox is pure camera geometry — ONE cube sample pass shared
+        # by every instance (the vmap fallback paid it per instance)
+        color1 = ibl_mod.skybox_colors(cubemap, mats["view"], mats["proj"],
+                                       width, height)
     if cfg.show_ground:
         ground_mask, gpos, ground_depth = ground_pass(
             cfg, mats["view"], mats["proj"], width, height)
@@ -904,16 +909,41 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     clip = jax.vmap(lambda v: raster.transform_clip(v, mats["mvp"]))(verts_m)
     ccv = jax.vmap(
         lambda c: raster.transform_clip(c, mats["mvp"]))(corner_pos)
+    # double-sided materials: same static [T] cull exemption as
+    # render_frame, shared across instances like the topology
+    nocull = None
+    if cfg.double_sided and static.nocull_tris.any():
+        nocull = jnp.asarray(static.nocull_tris)
     sdepth = None
     if cfg.msaa >= 4:
         vis, attr_px, sdepth = rasterize_attrs_tiled_msaa_crowd(
             clip, tris, attrs, width, height, raster.CULL_BACK,
-            cv=ccv, va=corner_va)
+            cv=ccv, va=corner_va, nocull=nocull)
     else:
         vis, attr_px = rasterize_attrs_tiled_crowd(
             clip, tris, attrs, width, height, raster.CULL_BACK,
-            cv=ccv, va=corner_va)
+            cv=ccv, va=corner_va, nocull=nocull)
     char_mask = (vis.tri >= 0) & (vis.depth <= ground_depth[None])
+
+    # edge outlines (as in render_frame): inverted hull displaced along
+    # deformed normals, front-cull, fused across instances — one more
+    # crowd raster over the MAT_DRAW_EDGE subset, no vmap fallback needed
+    edge_mask = None
+    if cfg.show_edges and len(static.edge_tris):
+        emag = (jnp.asarray(static.edge_mag)
+                * (0.01 * cfg.edge_scale))[:, None]
+        verts_e = (positions_mmd + jnp.asarray(normals) * emag) \
+            * cfg.mmd_to_meter
+        etris = jnp.asarray(static.edge_tris)[:, ::-1]
+        clip_e = jax.vmap(
+            lambda v: raster.transform_clip(v, mats["mvp"]))(verts_e)
+        vis_e, _ = rasterize_attrs_tiled_crowd(
+            clip_e, etris,
+            jnp.zeros(positions_mmd.shape[:2] + (1,), jnp.float32),
+            width, height, raster.CULL_FRONT)
+        pid_e = jnp.asarray(static.edge_tri_part)[jnp.maximum(vis_e.tri, 0)]
+        edge_color_px = jnp.asarray(static.edge_colors)[pid_e][..., :3]
+        edge_mask = (vis_e.tri >= 0) & (vis_e.depth <= ground_depth[None])
     vp = mats["proj"] @ mats["view"]
     world_px = jax.vmap(
         lambda d: unproject_depth(d, vp, width, height))(vis.depth)
@@ -945,10 +975,21 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                     vis.tri, attr_px[..., 3:5])
     else:
         albedo = jnp.ones((n_inst, height, width, 3), jnp.float32)
+    nrm_px = attr_px[..., 0:3]
+    if nocull is not None:
+        # two-sided lighting (as in render_frame): back faces of
+        # double-sided surfaces shade with the viewer-facing normal
+        to_eye = jnp.asarray(cfg.camera_pos, jnp.float32) - world_px
+        flip = jnp.sum(nrm_px * to_eye, -1, keepdims=True) < 0.0
+        nrm_px = jnp.where(flip, -nrm_px, nrm_px)
     char_color = jax.vmap(
         lambda a, n, wp: shade.shade_character(
             a, n, wp, jnp.asarray(cfg.camera_pos, jnp.float32), cfg))(
-                albedo, attr_px[..., 0:3], world_px)
+                albedo, nrm_px, world_px)
+    if edge_mask is not None:
+        # outlines sit between background/ground and the character
+        color = jnp.where((edge_mask & ~char_mask)[..., None],
+                          edge_color_px, color)
     if sdepth is not None:
         # MSAA resolve (as in render_frame): shade once per pixel, coverage
         # from the 4 per-sample depths vs the shared ground depth

@@ -151,20 +151,120 @@ def test_crowd_fused_msaa_matches_vmapped():
 
 def test_crowd_supported_predicate_excludes_unfused_features():
     """Features only the vmap path renders must force the fallback
-    (r2 ADVICE: show_edges / double_sided silently dropped)."""
+    (r2 ADVICE: show_edges / double_sided silently dropped — both FUSED
+    since r5: edges are a second crowd raster over the displaced hull,
+    double-sided a shared nocull mask)."""
     import dataclasses
     from simple_mmd_renderer_tpu.render.pipeline import crowd_render_supported
     base = RenderConfig(raster_mode="tiled", show_skybox=False)
     assert crowd_render_supported(base)
-    assert not crowd_render_supported(
+    assert crowd_render_supported(
         dataclasses.replace(base, show_edges=True))
-    assert not crowd_render_supported(
+    assert crowd_render_supported(
         dataclasses.replace(base, double_sided=True))
     assert not crowd_render_supported(
         dataclasses.replace(base, msaa=4, msaa_supersample=True))
     assert crowd_render_supported(dataclasses.replace(base, msaa=4))
-    assert not crowd_render_supported(base, cubemap=object())
+    # the skybox is fused since r5 (camera-shared, one pass per crowd)
+    assert crowd_render_supported(
+        dataclasses.replace(base, show_skybox=True), cubemap=object())
     assert not crowd_render_supported(base, camera=object())
+
+
+def test_crowd_fused_skybox_matches_vmapped():
+    """Fused crowd skybox (ONE camera-shared cube-sample pass broadcast to
+    every instance) matches the single-instance skybox pipeline."""
+    from simple_mmd_renderer_tpu.render import ibl as ibl_mod
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, crowd_render_supported, render_frame)
+
+    eq = np.zeros((8, 16, 3), np.float32)
+    eq[:, :, 0] = np.linspace(0.1, 1.2, 16, dtype=np.float32)[None, :]
+    eq[:, :, 1] = np.linspace(1.0, 0.1, 8, dtype=np.float32)[:, None]
+    eq[:, :, 2] = 0.4
+    import jax.numpy as jnp
+    cube = ibl_mod.equirect_to_cubemap(jnp.asarray(eq), 16)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64, show_skybox=True)
+    assert crowd_render_supported(cfg, cubemap=cube)
+    n = 2
+    crowd = par.crowd_init(scene, n, phase_frames=9.0)
+    _, _, pos, nrm = jax.jit(par.crowd_step_fn(scene, render=False))(crowd)
+    fused = np.asarray(crowd_render_frame(scene.static, pos, nrm, cfg,
+                                          cubemap=cube))
+    # the sky must actually be drawn (differs from the clear-color bg)
+    base = np.asarray(crowd_render_frame(
+        scene.static, pos, nrm,
+        dataclasses.replace(cfg, show_skybox=False)))
+    assert (np.abs(fused - base) > 0.05).mean() > 0.05, "no skybox drawn"
+    for i in range(n):
+        ref = np.asarray(render_frame(scene.static, pos[i], nrm[i], cfg,
+                                      cubemap=cube))
+        diff = np.abs(fused[i] - ref)
+        assert (diff > 0.02).mean() < 2e-3, \
+            f"instance {i}: {(diff > 0.02).mean()}"
+
+
+def test_crowd_fused_edges_matches_vmapped():
+    """Fused crowd edge outlines (second multi-instance raster over the
+    inverted hull) match the single-instance edge pipeline per instance."""
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, crowd_render_supported, render_frame)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64, show_edges=True,
+                              edge_scale=30.0)
+    assert crowd_render_supported(cfg)
+    assert len(scene.static.edge_tris), "sample must carry MAT_DRAW_EDGE"
+    n = 2
+    crowd = par.crowd_init(scene, n, phase_frames=9.0)
+    _, _, pos, nrm = jax.jit(par.crowd_step_fn(scene, render=False))(crowd)
+    fused = np.asarray(crowd_render_frame(scene.static, pos, nrm, cfg))
+    # the outline must actually show up (edge colors differ from bg/char)
+    base = np.asarray(crowd_render_frame(
+        scene.static, pos, nrm, dataclasses.replace(cfg, show_edges=False)))
+    assert (np.abs(fused - base) > 0.05).mean() > 1e-3, "no outline drawn"
+    for i in range(n):
+        ref = np.asarray(render_frame(scene.static, pos[i], nrm[i], cfg))
+        diff = np.abs(fused[i] - ref)
+        assert (diff > 0.02).mean() < 2e-3, \
+            f"instance {i}: {(diff > 0.02).mean()}"
+
+
+def test_crowd_fused_double_sided_matches_vmapped():
+    """Fused crowd double-sided rendering (shared nocull mask + two-sided
+    lighting) matches the single-instance pipeline per instance."""
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, crowd_render_supported, render_frame)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64, double_sided=True)
+    assert crowd_render_supported(cfg)
+    # the procedural sample has no MAT_DOUBLE_FACE parts; mark every
+    # triangle double-faced (same trick as test_render's double-sided test)
+    static = scene.static
+    old = static.nocull_tris
+    static.nocull_tris = np.ones(len(static.triangles), bool)
+    try:
+        n = 2
+        crowd = par.crowd_init(scene, n, phase_frames=9.0)
+        _, _, pos, nrm = jax.jit(
+            par.crowd_step_fn(scene, render=False))(crowd)
+        fused = np.asarray(crowd_render_frame(static, pos, nrm, cfg))
+        for i in range(n):
+            ref = np.asarray(render_frame(static, pos[i], nrm[i], cfg))
+            diff = np.abs(fused[i] - ref)
+            assert (diff > 0.02).mean() < 2e-3, \
+                f"instance {i}: {(diff > 0.02).mean()}"
+    finally:
+        static.nocull_tris = old
 
 
 def test_band_transform_partitions_ndc():
