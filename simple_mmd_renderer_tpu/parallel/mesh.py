@@ -71,9 +71,10 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
     sort and one kernel launch across all instances, instead of vmapping
     the single-instance pipeline (whose per-instance fixed costs dominate
     at crowd viewport sizes). Textures, native 4x MSAA, edge outlines,
-    double-sided materials and the skybox are fused; what the fused path
-    doesn't cover (per-instance VMD camera, extended morphs, MMD toon
-    shading) falls back to the vmap."""
+    double-sided materials, the skybox, MMD toon/sphere shading and
+    extended morphs (per-instance UV offsets / material factors) are
+    fused; what the fused path doesn't cover (per-instance VMD camera,
+    the supersample-emulation MSAA) falls back to the vmap."""
     if not render:
         return jax.vmap(scene.step_pose)
 
@@ -83,16 +84,33 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
     uses_ext_morphs = bool(
         scene.config.apply_extended_morphs
         and (len(st.um_morph) or len(st.mm_morph)))
-    if scene.mmd_maps is None and not uses_ext_morphs \
-            and crowd_render_supported(
-                scene.config.render, scene.part_textures, scene.cubemap,
-                scene.camera):
+    if crowd_render_supported(
+            scene.config.render, scene.part_textures, scene.cubemap,
+            scene.camera):
+        from ..core import pose as pose_mod
+
         def step(state, atlas=None):
             state, pose, positions, normals = jax.vmap(scene.step_pose)(state)
+            # extended morphs (same static gates as Scene.step_and_render):
+            # per-instance UV offsets / material factors from the vmapped
+            # leaf rates — they ride the fused path's instance axis
+            uv_off = part_color = None
+            if uses_ext_morphs:
+                if len(st.um_morph) and scene.part_textures is not None:
+                    uv_off = jax.vmap(
+                        lambda lr: pose_mod.uv_morph_offsets(st, lr))(
+                            pose.leaf_rates)
+                if len(st.mm_morph):
+                    part_color = jax.vmap(
+                        lambda lr: pose_mod.material_morph_factors(st, lr))(
+                            pose.leaf_rates)
             images = crowd_render_frame(scene.static, positions, normals,
                                         scene.config.render, width, height,
                                         part_textures=scene.part_textures,
-                                        atlas=atlas, cubemap=scene.cubemap)
+                                        atlas=atlas, cubemap=scene.cubemap,
+                                        mmd_maps=scene.mmd_maps,
+                                        uv_offsets=uv_off,
+                                        part_color=part_color)
             return state, images
         return step if atlas_arg else (lambda state: step(state))
 
@@ -102,8 +120,6 @@ def crowd_step_fn(scene: Scene, render: bool = True, width=None, height=None,
     import sys as _sys
     cfg_r = scene.config.render
     reasons = [r for r, on in (
-        ("mmd_shading", scene.mmd_maps is not None),
-        ("extended_morphs", uses_ext_morphs),
         ("msaa_supersample", bool(cfg_r.msaa >= 4 and cfg_r.msaa_supersample)),
         ("vmd_camera", scene.camera is not None),
         ("scan_raster", _pick_fallback_scan(cfg_r)),

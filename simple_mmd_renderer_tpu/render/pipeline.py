@@ -795,9 +795,10 @@ def crowd_render_supported(cfg: RenderConfig, part_textures=None,
     instance), native 4x MSAA, edge outlines (a second fused raster over
     the displaced hull), double-sided materials (shared nocull mask),
     skybox (camera-shared — one cube-sample pass for all instances),
-    shadows and ground are all fused; per-instance VMD camera and the
-    supersample-emulation MSAA fall back to vmap(render_frame), which
-    supports them. `texture_resident` (a single-instance perf knob: the
+    MMD toon/sphere shading (vmapped per-pixel stage over the fused
+    buffers — pass `mmd_maps` to crowd_render_frame), shadows and ground
+    are all fused; per-instance VMD camera and the supersample-emulation
+    MSAA fall back to vmap(render_frame), which supports them. `texture_resident` (a single-instance perf knob: the
     per-frame resident mip mini-atlas) is intentionally ignored on the
     crowd path — the fused path samples the mip atlas directly, which is
     exact; a per-instance mini-atlas would multiply the copy cost by I."""
@@ -808,7 +809,8 @@ def crowd_render_supported(cfg: RenderConfig, part_textures=None,
 
 def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                        width=None, height=None, part_textures=None,
-                       atlas=None, cubemap=None):
+                       atlas=None, cubemap=None, mmd_maps=None,
+                       uv_offsets=None, part_color=None):
     """Fused multi-instance frame: positions/normals carry a leading
     instance axis; ONE binning sort and ONE kernel launch cover all
     instances' character and shadow rasters (ops/tiled_raster crowd path).
@@ -834,8 +836,12 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
     # fused setup's dominant cost and used to run once per pass)
     attr_list = [jnp.asarray(normals)]
     if part_textures is not None:
-        uvs_b = jnp.broadcast_to(jnp.asarray(static.uvs)[None],
-                                 (n_inst,) + static.uvs.shape)
+        # per-instance UV morphs (extended morphs) simply ride the
+        # instance axis the attrs already carry
+        uvs_b = (jnp.asarray(static.uvs)[None] + uv_offsets
+                 if uv_offsets is not None
+                 else jnp.broadcast_to(jnp.asarray(static.uvs)[None],
+                                       (n_inst,) + static.uvs.shape))
         attr_list.append(uvs_b)
     attrs = (jnp.concatenate(attr_list, -1) if len(attr_list) > 1
              else attr_list[0])
@@ -959,15 +965,18 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
             # per-frame resident mini-atlas PER INSTANCE would multiply
             # the copy cost by I (crowd_render_frame ignores it; sampling
             # the mip atlas directly is exact).
-            uvs = jnp.asarray(static.uvs)
+            uvs0 = jnp.asarray(static.uvs)
+            uvs_i = (uvs0[None] + uv_offsets if uv_offsets is not None
+                     else jnp.broadcast_to(uvs0[None],
+                                           (n_inst,) + uvs0.shape))
 
-            def albedo_one(c, t, b):
+            def albedo_one(c, t, b, u):
                 screen, _, _ = raster.screen_from_clip(c, width, height)
-                rows = affine_uv_part_rows(uvs, tris, atl, static,
+                rows = affine_uv_part_rows(u, tris, atl, static,
                                            screen_xy=screen)
                 return _albedo_rows(atl, t, b, rows)
 
-            albedo = jax.vmap(albedo_one)(clip, vis.tri, vis.bary)
+            albedo = jax.vmap(albedo_one)(clip, vis.tri, vis.bary, uvs_i)
         else:
             albedo = jax.vmap(
                 lambda t, uv: character_albedo(static, t, uv, part_textures,
@@ -975,6 +984,20 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
                     vis.tri, attr_px[..., 3:5])
     else:
         albedo = jnp.ones((n_inst, height, width, 3), jnp.float32)
+    if part_color is not None:
+        # material-morph albedo modulation, per instance (extended morphs)
+        import numpy as _np
+        mm_mul, mm_add = part_color                        # [I,P,3] each
+        pbounds = jnp.asarray(_np.asarray(static.part_base, _np.int32))
+        pcount = len(static.part_base)
+
+        def pc_one(alb, tri, mul, add):
+            pid = jnp.clip(jnp.searchsorted(pbounds, jnp.maximum(tri, 0),
+                                            side="right") - 1,
+                           0, pcount - 1)
+            return jnp.clip(alb * mul[pid] + add[pid], 0.0, None)
+
+        albedo = jax.vmap(pc_one)(albedo, vis.tri, mm_mul, mm_add)
     nrm_px = attr_px[..., 0:3]
     if nocull is not None:
         # two-sided lighting (as in render_frame): back faces of
@@ -982,10 +1005,51 @@ def crowd_render_frame(static, positions_mmd, normals, cfg: RenderConfig,
         to_eye = jnp.asarray(cfg.camera_pos, jnp.float32) - world_px
         flip = jnp.sum(nrm_px * to_eye, -1, keepdims=True) < 0.0
         nrm_px = jnp.where(flip, -nrm_px, nrm_px)
+    sphere_addend = None
+    if mmd_maps is not None:
+        # MMD extended shading (toon ramps + SPH/SPA sphere maps), same
+        # per-pixel math as render_frame, vmapped over the fused raster's
+        # per-instance buffers; the static tables (ramps, sphere atlas,
+        # part bounds) are shared across instances
+        import numpy as _np
+        sphere_texs, sphere_modes, toon_ramps = mmd_maps
+        bounds = jnp.asarray(_np.asarray(static.part_base, _np.int32))
+        npart = len(static.part_base)
+        ldir = jnp.asarray(cfg.light_direction, jnp.float32)
+        ldir = ldir / jnp.linalg.norm(ldir)
+        k = toon_ramps.shape[1]
+        ramp_flat = jnp.asarray(toon_ramps.reshape(-1, 3))
+        any_sphere = any(m != 0 for m in _np.asarray(sphere_modes))
+        modes_arr = jnp.asarray(_np.asarray(sphere_modes))
+        view_rot = mats["view"][:3, :3]
+
+        def mmd_one(alb, nrm, tri):
+            pid = jnp.clip(jnp.searchsorted(bounds, jnp.maximum(tri, 0),
+                                            side="right") - 1,
+                           0, npart - 1)
+            ndl = -jnp.sum(nrm * ldir, -1)
+            qi = jnp.clip(jnp.round((0.5 - 0.5 * ndl) * (k - 1)),
+                          0, k - 1).astype(jnp.int32)
+            alb = alb * ramp_flat[pid * k + qi]
+            addend = jnp.zeros_like(alb)
+            if any_sphere:
+                nv = nrm @ view_rot.T
+                uv_s = jnp.stack([nv[..., 0] * 0.5 + 0.5,
+                                  0.5 - nv[..., 1] * 0.5], -1)
+                scol = character_albedo(static, tri, uv_s, sphere_texs)
+                modes_px = modes_arr[pid]
+                alb = jnp.where((modes_px == 1)[..., None], alb * scol,
+                                alb)
+                addend = jnp.where((modes_px == 2)[..., None], scol, 0.0)
+            return alb, addend
+
+        albedo, sphere_addend = jax.vmap(mmd_one)(albedo, nrm_px, vis.tri)
     char_color = jax.vmap(
         lambda a, n, wp: shade.shade_character(
             a, n, wp, jnp.asarray(cfg.camera_pos, jnp.float32), cfg))(
                 albedo, nrm_px, world_px)
+    if sphere_addend is not None:
+        char_color = char_color + sphere_addend
     if edge_mask is not None:
         # outlines sit between background/ground and the character
         color = jnp.where((edge_mask & ~char_mask)[..., None],

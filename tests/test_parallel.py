@@ -171,6 +171,94 @@ def test_crowd_supported_predicate_excludes_unfused_features():
     assert not crowd_render_supported(base, camera=object())
 
 
+def test_crowd_fused_mmd_shading_matches_vmapped():
+    """Fused crowd MMD toon/sphere shading (per-pixel stage vmapped over
+    the fused raster buffers) matches the single-instance pipeline."""
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, render_frame)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64)
+    st = scene.static
+    pn = len(st.part_base)
+    k = 16
+    ramps = np.ones((pn, k, 3), np.float32)
+    ramps[:, :, :] = np.linspace(1.0, 0.55, k,
+                                 dtype=np.float32)[None, :, None]
+    ys = np.linspace(0.6, 1.0, 32, dtype=np.float32)
+    sph = np.broadcast_to(ys[:, None, None], (32, 32, 3)).copy()
+    modes = np.zeros(pn, np.int32)
+    modes[0] = 1                      # SPH multiply on the first part
+    if pn > 1:
+        modes[1] = 2                  # SPA add on the second
+    maps = ([sph for _ in range(pn)], modes, ramps)
+
+    n = 2
+    crowd = par.crowd_init(scene, n, phase_frames=9.0)
+    _, _, pos, nrm = jax.jit(par.crowd_step_fn(scene, render=False))(crowd)
+    fused = np.asarray(crowd_render_frame(scene.static, pos, nrm, cfg,
+                                          mmd_maps=maps))
+    # toon ramp must actually darken vs the plain path
+    base = np.asarray(crowd_render_frame(scene.static, pos, nrm, cfg))
+    assert (np.abs(fused - base) > 0.02).mean() > 1e-3, "no toon effect"
+    for i in range(n):
+        ref = np.asarray(render_frame(scene.static, pos[i], nrm[i], cfg,
+                                      mmd_maps=maps))
+        diff = np.abs(fused[i] - ref)
+        assert (diff > 0.02).mean() < 2e-3, \
+            f"instance {i}: {(diff > 0.02).mean()}"
+
+
+def test_crowd_fused_extended_morphs_match_vmapped():
+    """Fused per-instance extended morphs (UV offsets riding the attr
+    instance axis; material factors modulating fused albedo) match the
+    single-instance uv_offsets/part_color pipeline."""
+    from simple_mmd_renderer_tpu.app.sample import sample_textures
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, render_frame)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64)
+    textures = sample_textures()
+    st = scene.static
+    n = 2
+    crowd = par.crowd_init(scene, n, phase_frames=9.0)
+    _, _, pos, nrm = jax.jit(par.crowd_step_fn(scene, render=False))(crowd)
+
+    # distinct per-instance morph state: instance 1 shifts UVs and tints
+    rng = np.random.default_rng(3)
+    uv_off = np.zeros((n,) + st.uvs.shape, np.float32)
+    uv_off[1] = rng.uniform(-0.2, 0.2, st.uvs.shape).astype(np.float32)
+    pn = len(st.part_base)
+    mul = np.ones((n, pn, 3), np.float32)
+    add = np.zeros((n, pn, 3), np.float32)
+    mul[1, :, 0] = 0.5
+    add[1, :, 1] = 0.2
+
+    import jax.numpy as jnp
+    fused = np.asarray(crowd_render_frame(
+        st, pos, nrm, cfg, part_textures=textures,
+        uv_offsets=jnp.asarray(uv_off),
+        part_color=(jnp.asarray(mul), jnp.asarray(add))))
+    # the morphs must actually change instance 1's pixels
+    plain = np.asarray(crowd_render_frame(st, pos, nrm, cfg,
+                                          part_textures=textures))
+    assert (np.abs(fused[1] - plain[1]) > 0.02).mean() > 1e-3, \
+        "morphs had no effect"
+    for i in range(n):
+        ref = np.asarray(render_frame(
+            st, pos[i], nrm[i], cfg, part_textures=textures,
+            uv_offsets=jnp.asarray(uv_off[i]),
+            part_color=(jnp.asarray(mul[i]), jnp.asarray(add[i]))))
+        diff = np.abs(fused[i] - ref)
+        assert (diff > 0.02).mean() < 2e-3, \
+            f"instance {i}: {(diff > 0.02).mean()}"
+
+
 def test_crowd_fused_skybox_matches_vmapped():
     """Fused crowd skybox (ONE camera-shared cube-sample pass broadcast to
     every instance) matches the single-instance skybox pipeline."""
