@@ -211,6 +211,49 @@ def test_crowd_fused_mmd_shading_matches_vmapped():
             f"instance {i}: {(diff > 0.02).mean()}"
 
 
+def test_crowd_fused_all_features_combined_matches_vmapped():
+    """The everything-on fused config (textures + native MSAA + edges +
+    double-sided + toon) matches render_frame per instance — pins the
+    composite ORDER (edges under character, MSAA coverage blend last)
+    across the fused paths."""
+    from simple_mmd_renderer_tpu.app.sample import sample_textures
+    from simple_mmd_renderer_tpu.render.pipeline import (
+        crowd_render_frame, crowd_render_supported, render_frame)
+
+    scene = _tiny_scene()
+    import dataclasses
+    cfg = dataclasses.replace(scene.config.render, raster_mode="tiled",
+                              width=128, height=64, msaa=4,
+                              show_edges=True, edge_scale=30.0,
+                              double_sided=True)
+    textures = sample_textures()
+    assert crowd_render_supported(cfg, part_textures=textures)
+    st = scene.static
+    old = st.nocull_tris.copy()
+    st.nocull_tris[: len(st.nocull_tris) // 2] = True
+    pn = len(st.part_base)
+    ramps = np.ones((pn, 8, 3), np.float32) \
+        * np.linspace(1.0, 0.6, 8, dtype=np.float32)[None, :, None]
+    maps = ([np.full((8, 8, 3), 0.9, np.float32)] * pn,
+            np.zeros(pn, np.int32), ramps)
+    try:
+        n = 2
+        crowd = par.crowd_init(scene, n, phase_frames=9.0)
+        _, _, pos, nrm = jax.jit(
+            par.crowd_step_fn(scene, render=False))(crowd)
+        fused = np.asarray(crowd_render_frame(
+            st, pos, nrm, cfg, part_textures=textures, mmd_maps=maps))
+        for i in range(n):
+            ref = np.asarray(render_frame(st, pos[i], nrm[i], cfg,
+                                          part_textures=textures,
+                                          mmd_maps=maps))
+            diff = np.abs(fused[i] - ref)
+            assert (diff > 0.02).mean() < 2e-3, \
+                f"instance {i}: {(diff > 0.02).mean()}"
+    finally:
+        st.nocull_tris[:] = old
+
+
 def test_crowd_fused_extended_morphs_match_vmapped():
     """Fused per-instance extended morphs (UV offsets riding the attr
     instance axis; material factors modulating fused albedo) match the
