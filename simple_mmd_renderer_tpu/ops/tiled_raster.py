@@ -310,7 +310,12 @@ def _bin(s, rows, width, height, e_max, chunk, tile_h=None):
 # disables compaction (render.pipeline reads RenderConfig.compact_bin),
 # because switch under vmap batches to an all-branches select.
 COMPACT_MIN_T = 4096
-COMPACT_RUNGS = ((3, 8), (5, 8))  # prefix fractions (num, den); plus full T
+# prefix fractions (num, den); plus full T. Overridable for ladder
+# experiments: SMR_RUNGS="3/8,1/2,5/8" (each rung traces the kernel once
+# more per config — fleet compile time scales with ladder length).
+COMPACT_RUNGS = tuple(
+    (int(r.split("/")[0]), int(r.split("/")[1]))
+    for r in os.environ.get("SMR_RUNGS", "3/8,5/8").split(","))
 
 
 def _bin_prefix(s, rows, width, height, e_max, chunk, run, tile_h=None):
